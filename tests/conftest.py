@@ -1,17 +1,15 @@
 """Test configuration.
 
 Tests run on a virtual 8-device CPU mesh so sharding/collective code paths
-are exercised without TPU hardware (SURVEY.md §4). The env vars must be set
-before JAX initializes its backends, hence this conftest sets them at import
-time.
+are exercised without TPU hardware (SURVEY.md §4). NOTE: this environment's
+sitecustomize pre-imports JAX and pins the tunneled TPU platform before any
+env var we could set, so the platform must be switched via jax.config here
+(backends are still uninitialized at conftest import time).
 """
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

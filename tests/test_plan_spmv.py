@@ -1,0 +1,121 @@
+"""Execution-plan + XLA engine tests (SpMV on the JAX path)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tilespmv_tpu import TileConfig, csr_from_coo, tile_create
+from tilespmv_tpu.io import generate
+from tilespmv_tpu.ops.plan import build_plan
+from tilespmv_tpu.ops.spmv import TileSpMV, spmv
+
+
+def _check(csr, rtol=1e-5, **kwargs):
+    tm = tile_create(csr, kwargs.pop("config", TileConfig()))
+    op = TileSpMV(tm, backend="xla", **kwargs)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(csr.n).astype(np.float32)
+    y = np.asarray(op(x))
+    y_golden = csr.to_dense().astype(np.float32) @ x
+    # reference tolerance gate: |y_g - y| <= 0.01|y| (main.cu:186-197);
+    # we check much tighter
+    np.testing.assert_allclose(y, y_golden, rtol=rtol, atol=1e-4)
+    return op
+
+
+# Small instances of every corpus archetype: conversion + XLA compile must
+# stay fast on the single-core CPU test runner; the full-size corpus runs in
+# bench/sweep on TPU.
+ARCHETYPES = {
+    "mixed": lambda: generate.mixed_structure(512, 512, seed=1),
+    "banded": lambda: generate.banded(1024, 1024, 8, seed=2),
+    "uniform": lambda: generate.random_uniform(1024, 1024, 0.002, seed=3),
+    "powerlaw": lambda: generate.power_law(1024, 1024, 12, seed=4),
+    "ell": lambda: generate.ell_regular(1024, 1024, 7, seed=5),
+    "dense_blocks": lambda: generate.dense_blocks(512, 512, num_blocks=128,
+                                                  seed=6),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ARCHETYPES))
+def test_corpus_spmv_xla(name):
+    _check(ARCHETYPES[name]())
+
+
+def test_partial_tile_shapes():
+    _check(generate.mixed_structure(1000, 777, seed=11))
+
+
+def test_single_format_matrices():
+    # dense-only
+    _check(generate.dense_blocks(256, 256, num_blocks=64, seed=1))
+    # full rows only
+    _check(generate.full_rows(256, 256, num_rows=5, seed=2))
+    # full cols only
+    _check(generate.full_cols(256, 256, num_cols=5, seed=3))
+    # ELL only
+    _check(generate.ell_regular(256, 256, 4, seed=4))
+    # COO/residual only
+    _check(generate.random_uniform(256, 256, 0.002, seed=5))
+
+
+def test_hyb_plan():
+    cfg = TileConfig(enable_hyb=True, hyb_cv_threshold=0.3, hyb_max_coo=64)
+    csr = generate.power_law(256, 256, 20, seed=6)
+    _check(csr, config=cfg)
+
+
+def test_plan_shapes_are_padded():
+    csr = generate.mixed_structure(256, 256, seed=0)
+    tm = tile_create(csr)
+    plan = build_plan(tm, pad_tiles_to=8)
+    assert plan.dense.val.shape[0] % 8 == 0
+    for e in plan.csrs:
+        assert e.val.shape[0] % 8 == 0
+        assert e.val.shape == e.rowcol.shape
+    for e in plan.ells:
+        assert e.val.shape == e.col.shape
+
+
+def test_spmv_is_jittable_and_stable():
+    csr = generate.mixed_structure(512, 512, seed=1)
+    op = TileSpMV(csr, backend="xla")
+    x = np.linspace(-1, 1, 512).astype(np.float32)
+    y1 = np.asarray(op(x))
+    y2 = np.asarray(op(x))
+    np.testing.assert_array_equal(y1, y2)  # deterministic
+
+
+def test_wrong_x_shape_raises():
+    csr = generate.mixed_structure(64, 64, seed=0)
+    op = TileSpMV(csr, backend="xla")
+    with pytest.raises(ValueError, match="expected"):
+        op(np.ones(10, np.float32))
+
+
+def test_bytes_and_flops_reporting():
+    csr = generate.mixed_structure(512, 512, seed=2)
+    op = TileSpMV(csr, backend="xla")
+    assert op.flops() == 2 * csr.nnz
+    assert op.bytes_accessed() > 0
+
+
+def test_f64_on_cpu():
+    csr = generate.mixed_structure(128, 128, seed=3)
+    with jax.enable_x64(True):
+        op = TileSpMV(csr, compute_dtype=jnp.float64, backend="xla")
+        x = np.linspace(0, 1, 128)
+        y = np.asarray(op(x))
+    np.testing.assert_allclose(y, csr.to_dense() @ x, rtol=1e-12)
+
+
+def test_bf16_tolerance():
+    csr = generate.banded(256, 256, 4, seed=4)
+    op = TileSpMV(csr, compute_dtype=jnp.bfloat16, backend="xla")
+    x = np.ones(256, np.float32)
+    y = np.asarray(op(x).astype(jnp.float32))
+    y_golden = csr.to_dense() @ x
+    # 1% relative gate, the reference's own tolerance (main.cu:186-197)
+    err = np.abs(y - y_golden) > 0.01 * np.abs(y_golden) + 1e-3
+    assert not err.any()

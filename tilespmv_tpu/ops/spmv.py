@@ -1,0 +1,104 @@
+"""Public SpMV operator.
+
+`TileSpMV` is the user-facing entry point: it compiles a matrix (CSR or an
+already-converted TileMatrix) into an execution plan and exposes a jitted
+`y = A @ x`. The per-format engines are selected by `backend`:
+
+* "xla"    — pure jnp engines (ops/xla_spmv.py)
+* "pallas" — hand-written Pallas TPU kernels (ops/pallas/)
+* "auto"   — pallas on TPU, xla elsewhere
+
+This mirrors the reference's split between the CPU engine
+(tilespmv_cpu.h) and the CUDA engine (tilespmv_cuda.h) behind one driver
+(main.cu:142-180).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, TileConfig
+from ..core.convert import tile_create
+from ..core.tile_matrix import TileMatrix
+from ..io.mmio import CSRMatrix
+from . import xla_spmv
+from .plan import SpMVPlan, build_plan
+
+
+def _engine_module(backend: str):
+    if backend == "xla":
+        return xla_spmv
+    if backend == "pallas":
+        from .pallas import engines as pallas_engines
+        return pallas_engines
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def spmv(plan: SpMVPlan, x: jax.Array, backend: str = "xla") -> jax.Array:
+    """y = A @ x over an execution plan. Jittable; `backend` is static."""
+    eng = _engine_module(backend)
+    b = plan.tile_size
+    x_pad = jnp.zeros(plan.x_padded_len, dtype=x.dtype).at[: plan.n].set(x)
+    x2d = x_pad.reshape(plan.tilen, b)
+
+    y2d = jnp.zeros((plan.tilem, b), dtype=x.dtype)
+    if plan.dense.tilerow.shape[0]:
+        y2d = y2d.at[plan.dense.tilerow].add(eng.dense_blocks(plan.dense, x2d))
+    for e in plan.ells:
+        y2d = y2d.at[e.tilerow].add(eng.ell_blocks(e, x2d))
+    for e in plan.csrs:
+        y2d = y2d.at[e.tilerow].add(eng.csr_blocks(e, x2d))
+    if plan.cols.gcol.shape[0]:
+        y2d = y2d.at[plan.cols.tilerow].add(eng.dense_cols(plan.cols, x_pad))
+
+    y = y2d.reshape(-1)
+    if plan.rows.grow.shape[0]:
+        y = y.at[plan.rows.grow].add(eng.dense_rows(plan.rows, x2d))
+    if plan.residual.val.shape[0]:
+        y = y + eng.residual_rows(plan.residual, x_pad, plan.y_padded_len)
+    return y[: plan.m]
+
+
+class TileSpMV:
+    """Compiled tiled SpMV operator.
+
+    >>> op = TileSpMV(csr)            # convert + plan + jit
+    >>> y = op(x)                     # y = A @ x on the default device
+    """
+
+    def __init__(self, a: Union[CSRMatrix, TileMatrix],
+                 config: TileConfig = DEFAULT_CONFIG,
+                 compute_dtype=jnp.float32,
+                 backend: str = "auto"):
+        if isinstance(a, CSRMatrix):
+            a = tile_create(a, config)
+        self.tile_matrix: TileMatrix = a
+        self.plan: SpMVPlan = build_plan(a, compute_dtype=compute_dtype)
+        if backend == "auto":
+            # pallas engines land behind this flag; until then XLA engines
+            # are the default everywhere
+            backend = "xla"
+        self.backend = backend
+        self.compute_dtype = jnp.dtype(compute_dtype)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.plan.m, self.plan.n)
+
+    def __call__(self, x) -> jax.Array:
+        x = jnp.asarray(x, dtype=self.compute_dtype)
+        if x.shape != (self.plan.n,):
+            raise ValueError(
+                f"x has shape {x.shape}, expected ({self.plan.n},)")
+        return spmv(self.plan, x, backend=self.backend)
+
+    def flops(self) -> int:
+        return self.plan.flops()
+
+    def bytes_accessed(self) -> int:
+        return self.plan.bytes_accessed()
