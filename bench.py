@@ -1,0 +1,57 @@
+"""Driver benchmark entry point.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: aggregate SpMV GFLOPS (2*nnz/t, the reference's headline metric,
+tilespmv_cuda.h:1138) over the large synthetic corpus on the current
+default device (real TPU under the driver). The reference repo commits no
+absolute numbers (BASELINE.md), so `vs_baseline` reports progress against
+the driver-set north-star target instead: achieved fraction of the chip's
+HBM roofline divided by the 0.90 target — 1.0 means "meets the 90%-of-
+roofline goal".
+"""
+import json
+import sys
+
+
+FLAGSHIP = ["banded_large", "powerlaw_large", "mixed_large"]
+ROOFLINE_TARGET = 0.90
+
+
+def main() -> int:
+    import numpy as np
+
+    from tilespmv_tpu.bench.harness import benchmark_op
+    from tilespmv_tpu.bench import roofline
+    from tilespmv_tpu.io import generate
+    from tilespmv_tpu.ops.spmv import TileSpMV
+
+    details = []
+    for name in FLAGSHIP:
+        csr = generate.get_matrix(name)
+        op = TileSpMV(csr, backend="auto")
+        res = benchmark_op(op, name=name, warmup=2, timed_reps=3,
+                           iters_per_rep=50)
+        details.append(res)
+        print(f"# {name}: {res.ms:.4f} ms  {res.gflops:.2f} GFLOPS  "
+              f"{res.gbytes_per_s:.1f} GB/s  "
+              f"roofline {res.roofline_frac:.1%}", file=sys.stderr)
+
+    agg_flops = sum(2.0 * r.nnz for r in details)
+    agg_time = sum(r.ms * 1e-3 for r in details)
+    agg_bytes = sum(r.gbytes_per_s * r.ms * 1e6 for r in details)
+    gflops = agg_flops / agg_time / 1e9
+    bw = roofline.peak_bandwidth_gbps(details[0].chip)
+    roofline_frac = (agg_bytes / agg_time / 1e9) / bw
+    print(json.dumps({
+        "metric": "spmv_gflops_large_corpus",
+        "value": round(gflops, 3),
+        "unit": "GFLOPS",
+        "vs_baseline": round(roofline_frac / ROOFLINE_TARGET, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,151 @@
+"""Benchmark / validation CLI driver.
+
+TPU-native equivalent of the reference's benchmark binary
+(reference: src/main.cu:15-205, usage `./test -d <device> matrix.mtx`):
+loads a matrix, converts it, validates the CPU tiled path exactly against
+the scalar CSR golden model (tilespmv_cpu.h:274-284), runs the device path,
+checks it at 1% relative tolerance (main.cu:186-197), prints runtime +
+GFLOPS and appends to results.csv (tilespmv_cuda.h:1141-1147).
+
+Usage:
+    python -m tilespmv_tpu.cli [options] <matrix.mtx | corpus-name>
+    python -m tilespmv_tpu.cli --sweep          # whole synthetic corpus
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tilespmv_tpu",
+        description="TPU tiled SpMV benchmark/validation driver")
+    p.add_argument("matrix", nargs="?",
+                   help=".mtx path or synthetic corpus name")
+    p.add_argument("--sweep", action="store_true",
+                   help="benchmark the whole synthetic corpus")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--dtype", default="f32",
+                   choices=["f32", "f64", "bf16"])
+    p.add_argument("--tile-size", type=int, default=16)
+    p.add_argument("--force-format", default=None,
+                   choices=["csr", "coo", "ell", "dns"],
+                   help="bypass the selector (forced-format mode)")
+    p.add_argument("--truncate-rows", action="store_true",
+                   help="truncate rows to a tile multiple "
+                        "(reference main.cu:71 parity)")
+    p.add_argument("--iters", type=int, default=100,
+                   help="SpMVs per timed repetition")
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--csv", default="results.csv",
+                   help="append results here ('' disables)")
+    p.add_argument("--no-check", action="store_true",
+                   help="skip correctness validation")
+    p.add_argument("--x-pattern", default="mod10",
+                   choices=["mod10", "ones", "random"],
+                   help="mod10 matches the reference driver "
+                        "(main.cu:93-97)")
+    return p
+
+
+def _load(name: str):
+    from .io import generate, mmio
+    if name in generate.CORPUS:
+        return generate.get_matrix(name)
+    return mmio.load_mtx(name)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from .bench.harness import append_results_csv, benchmark_op
+    from .bench.sweep import sweep
+    from .config import TileConfig
+    from .core.convert import tile_create
+    from .ops.cpu_reference import spmv_cpu
+    from .ops.spmv import TileSpMV
+
+    dtype = {"f32": jnp.float32, "f64": jnp.float64,
+             "bf16": jnp.bfloat16}[args.dtype]
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    config = TileConfig(tile_size=args.tile_size,
+                        force_format=args.force_format,
+                        truncate_rows_to_tile=args.truncate_rows)
+
+    if args.sweep:
+        sweep(config=config, backend=args.backend, compute_dtype=dtype,
+              csv_path=args.csv or None)
+        return 0
+
+    if not args.matrix:
+        print("error: provide a matrix path/name or --sweep",
+              file=sys.stderr)
+        return 2
+
+    t0 = time.perf_counter()
+    csr = _load(args.matrix)
+    print(f"input matrix A: ( {csr.m}, {csr.n} ) nnz = {csr.nnz} "
+          f"[loaded in {time.perf_counter() - t0:.3f}s]")
+
+    t0 = time.perf_counter()
+    tm = tile_create(csr, config)
+    print(f"tiles: {tm.tilenum} ({tm.tilem} x {tm.tilen} grid) "
+          f"formats = { {k: v for k, v in tm.format_histogram().items() if v} } "
+          f"residual nnz = {tm.residual.nnz} "
+          f"[converted in {time.perf_counter() - t0:.3f}s]")
+
+    x = {
+        "mod10": ((np.arange(tm.n) % 10) / 4.0),
+        "ones": np.ones(tm.n),
+        "random": np.random.default_rng(0).standard_normal(tm.n),
+    }[args.x_pattern]
+
+    if not args.no_check:
+        # CPU tiled path, exact-equality count vs golden
+        # (tilespmv_cpu.h:274-284)
+        y_golden = csr.matvec(x)[: tm.m]
+        y_cpu = spmv_cpu(tm, x)
+        errs = int(np.sum(y_cpu != y_golden))
+        print(f"CPU TileSpMV errcount = {errs}")
+
+    op = TileSpMV(tm, config=config, compute_dtype=dtype,
+                  backend=args.backend)
+    t0 = time.perf_counter()
+    y_dev = np.asarray(op(x.astype(np.float64)), dtype=np.float64)
+    print(f"device path compiled+ran in {time.perf_counter() - t0:.2f}s "
+          f"(backend={op.backend}, dtype={args.dtype}, "
+          f"device={jax.devices()[0].device_kind})")
+
+    if not args.no_check:
+        # 1% relative tolerance gate (main.cu:186-197)
+        y_golden = csr.matvec(x)[: tm.m]
+        bad = np.abs(y_golden - y_dev) > 0.01 * np.abs(y_dev) + 1e-6
+        errors = int(bad.sum())
+        print(f"Check... {'PASS!' if errors == 0 else 'NO PASS'} "
+              f"(errors = {errors})")
+        if errors:
+            return 1
+
+    res = benchmark_op(op, x=x, name=args.matrix, warmup=args.warmup,
+                       timed_reps=args.reps, iters_per_rep=args.iters)
+    print(f"TileSpMV: {res.ms:.4f} ms, {res.gflops:.2f} GFLOPS, "
+          f"{res.gnnz_per_s * 1e3:.2f} Mnnz/ms, "
+          f"{res.gbytes_per_s:.1f} GB/s "
+          f"({res.roofline_frac:.1%} of {res.chip} HBM roofline)")
+    if args.csv:
+        append_results_csv(args.csv, res)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

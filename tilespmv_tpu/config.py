@@ -76,6 +76,11 @@ class TileConfig:
     # handles partial tiles in both dimensions.
     truncate_rows_to_tile: bool = False
 
+    # Force every tile into one format, bypassing the selector (the
+    # "forced format (no selector)" benchmark config, BASELINE.md). Only
+    # formats any tile can legally take: "csr", "coo", "ell", "dns".
+    force_format: Optional[str] = None
+
     def __post_init__(self):
         if self.tile_size < 1 or self.tile_size > 16:
             raise ValueError(
@@ -87,6 +92,12 @@ class TileConfig:
             raise ValueError("coo_nnz_threshold must be >= 0")
         if self.chunk_tiles < 1:
             raise ValueError("chunk_tiles must be >= 1")
+        if self.force_format is not None and self.force_format not in (
+                "csr", "coo", "ell", "dns"):
+            raise ValueError(
+                "force_format must be one of csr/coo/ell/dns (dense-row/"
+                f"dense-col require structural properties); got "
+                f"{self.force_format!r}")
 
     @property
     def dense_nnz_threshold_full_tile(self) -> int:

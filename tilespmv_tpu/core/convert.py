@@ -50,6 +50,15 @@ def _select_formats(cfg: TileConfig, counts, rowlen, collen, row_hist,
     hyb_width = np.zeros(tilenum, dtype=np.int16)
     hyb_coo = np.zeros(tilenum, dtype=np.int32)
 
+    if cfg.force_format is not None:
+        # Bypass the selector entirely (forced-format benchmark mode).
+        code = {"csr": FMT_CSR, "coo": FMT_COO, "ell": FMT_ELL,
+                "dns": FMT_DNS}[cfg.force_format]
+        fmt[:] = code
+        if code == FMT_ELL:
+            ell_width[:] = row_hist.max(axis=1).astype(np.int16)
+        return fmt, ell_width, hyb_width, hyb_coo
+
     # (a) dense: nnz >= int(rowlen*collen*0.75)  (csr2tile.h:150-157;
     # the C code truncates the double product to int)
     dense_th = (rowlen.astype(np.float64) * collen.astype(np.float64)

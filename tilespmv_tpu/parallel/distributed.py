@@ -1,0 +1,261 @@
+"""Distributed tiled SpMV: row-partitioned tile grid over a device mesh.
+
+New subsystem with no reference counterpart (the reference is single-GPU,
+SURVEY.md §2.3). Design:
+
+* The row space is split into `ndev` contiguous, tile-aligned blocks; each
+  block is converted and planned independently (the per-device work is a
+  complete single-chip TileSpMV problem).
+* Per-device plans are *unified*: every device gets the same set of
+  CSR-nnz-class / ELL-width-class engines, padded to the same shapes
+  (padding tiles are inert: zero values scattered to block row 0). This
+  makes the per-device program identical — pure SPMD — so the stacked plan
+  shards with a single `P('row')` prefix spec.
+* `shard_map` over the 1-D mesh runs the single-chip engine stack on each
+  device's shard. x is either replicated (`x_mode="replicated"`) or sharded
+  and reassembled with `jax.lax.all_gather` over ICI
+  (`x_mode="allgather"`, the default — the all-gather overlaps with the
+  leading engine work under XLA's scheduler).
+* y comes back sharded by rows (`P('row')`) — no reduction needed, since a
+  row block is owned by exactly one device.
+
+This is the analog of how the reference balances work across warps
+(tilespmv_cpu.h:68-118) lifted to the chip level: contiguous tile-row
+ranges per worker, atomics replaced by ownership.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DEFAULT_CONFIG, TileConfig
+from ..core.convert import tile_create
+from ..io.mmio import CSRMatrix
+from ..ops.plan import SpMVPlan, build_plan
+from ..ops.spmv import spmv
+from .mesh import ROW_AXIS, make_mesh
+
+
+def _row_block(csr: CSRMatrix, r0: int, r1: int,
+               rows_padded: int) -> CSRMatrix:
+    """Rows [r0, r1) of `csr`, re-based to local indices and padded with
+    empty rows to `rows_padded`."""
+    r1c = max(r0, min(r1, csr.m))
+    indptr = csr.indptr[r0: r1c + 1] if r0 <= csr.m else csr.indptr[-1:]
+    if indptr.size == 0:
+        indptr = csr.indptr[-1:]
+    start = int(indptr[0])
+    stop = int(indptr[-1])
+    local_ptr = (indptr - start).astype(np.int64)
+    pad_rows = rows_padded - (local_ptr.size - 1)
+    if pad_rows > 0:
+        local_ptr = np.concatenate(
+            [local_ptr, np.full(pad_rows, local_ptr[-1], np.int64)])
+    return CSRMatrix((rows_padded, csr.n), local_ptr,
+                     csr.indices[start:stop], csr.data[start:stop])
+
+
+def _pad_leading(a: jax.Array, target: int) -> jax.Array:
+    if a.shape[0] == target:
+        return a
+    pad = [(0, target - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad)
+
+
+def _unify_plans(plans: list[SpMVPlan]) -> list[SpMVPlan]:
+    """Give every plan the same treedef and leaf shapes (see module doc)."""
+    from ..ops.plan import (ColEngine, CsrEngine, DenseEngine, EllEngine,
+                            ResidualEngine, RowEngine)
+    cdt = plans[0].dense.val.dtype
+
+    def unify_simple(get, rebuild):
+        target = max(get(p).val.shape[0] for p in plans)
+        target = max(target, 8)
+        out = []
+        for p in plans:
+            e = get(p)
+            out.append(rebuild(e, target))
+        return out
+
+    denses = unify_simple(
+        lambda p: p.dense,
+        lambda e, t: DenseEngine(val=_pad_leading(e.val, t),
+                                 tilerow=_pad_leading(e.tilerow, t),
+                                 tilecol=_pad_leading(e.tilecol, t)))
+    rows_ = unify_simple(
+        lambda p: p.rows,
+        lambda e, t: RowEngine(val=_pad_leading(e.val, t),
+                               grow=_pad_leading(e.grow, t),
+                               tilecol=_pad_leading(e.tilecol, t)))
+    cols_ = unify_simple(
+        lambda p: p.cols,
+        lambda e, t: ColEngine(val=_pad_leading(e.val, t),
+                               gcol=_pad_leading(e.gcol, t),
+                               tilerow=_pad_leading(e.tilerow, t)))
+
+    b = plans[0].tile_size
+    # union of ELL width classes / CSR nnz classes across devices
+    ell_widths = sorted({e.val.shape[1] for p in plans for e in p.ells})
+    csr_ws = sorted({e.val.shape[1] for p in plans for e in p.csrs})
+
+    def unified_ells(p):
+        by_w = {e.val.shape[1]: e for e in p.ells}
+        out = []
+        for w in ell_widths:
+            nt = max(max((e2.val.shape[0] for p2 in plans
+                          for e2 in p2.ells if e2.val.shape[1] == w),
+                         default=8), 8)
+            e = by_w.get(w)
+            if e is None:
+                out.append(EllEngine(
+                    val=jnp.zeros((nt, w, b), cdt),
+                    col=jnp.zeros((nt, w, b), jnp.uint8),
+                    tilerow=jnp.zeros(nt, jnp.int32),
+                    tilecol=jnp.zeros(nt, jnp.int32)))
+            else:
+                out.append(EllEngine(
+                    val=_pad_leading(e.val, nt),
+                    col=_pad_leading(e.col, nt),
+                    tilerow=_pad_leading(e.tilerow, nt),
+                    tilecol=_pad_leading(e.tilecol, nt)))
+        return tuple(out)
+
+    def unified_csrs(p):
+        by_w = {e.val.shape[1]: e for e in p.csrs}
+        out = []
+        for w in csr_ws:
+            nt = max(max((e2.val.shape[0] for p2 in plans
+                          for e2 in p2.csrs if e2.val.shape[1] == w),
+                         default=8), 8)
+            e = by_w.get(w)
+            if e is None:
+                out.append(CsrEngine(
+                    val=jnp.zeros((nt, w), cdt),
+                    rowcol=jnp.zeros((nt, w), jnp.uint8),
+                    tilerow=jnp.zeros(nt, jnp.int32),
+                    tilecol=jnp.zeros(nt, jnp.int32)))
+            else:
+                out.append(CsrEngine(
+                    val=_pad_leading(e.val, nt),
+                    rowcol=_pad_leading(e.rowcol, nt),
+                    tilerow=_pad_leading(e.tilerow, nt),
+                    tilecol=_pad_leading(e.tilecol, nt)))
+        return tuple(out)
+
+    res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
+
+    def unified_residual(p):
+        e = p.residual
+        n0 = e.val.shape[0]
+        if n0 == res_n:
+            return e
+        # padded entries: val 0 at the last local row (keeps rows sorted)
+        last_row = e.row[-1] if n0 else jnp.zeros((), jnp.int32)
+        return ResidualEngine(
+            val=_pad_leading(e.val, res_n),
+            row=jnp.concatenate(
+                [e.row, jnp.full(res_n - n0, last_row, jnp.int32)]),
+            col=_pad_leading(e.col, res_n))
+
+    total_nnz = sum(p.nnz for p in plans)
+    out = []
+    for i, p in enumerate(plans):
+        out.append(SpMVPlan(
+            dense=denses[i], rows=rows_[i], cols=cols_[i],
+            ells=unified_ells(p), csrs=unified_csrs(p),
+            residual=unified_residual(p),
+            m=p.m, n=p.n, tilem=p.tilem, tilen=p.tilen,
+            tile_size=p.tile_size,
+            nnz=total_nnz,  # uniform static metadata across shards
+        ))
+    return out
+
+
+class DistributedSpMV:
+    """Row-partitioned SpMV over a 1-D device mesh.
+
+    >>> op = DistributedSpMV(csr, mesh=make_mesh())
+    >>> y = op(x)          # y sharded P('row') over the mesh
+    """
+
+    def __init__(self, csr: CSRMatrix,
+                 mesh: Optional[Mesh] = None,
+                 config: TileConfig = DEFAULT_CONFIG,
+                 compute_dtype=jnp.float32,
+                 backend: str = "xla",
+                 x_mode: str = "allgather"):
+        if x_mode not in ("allgather", "replicated"):
+            raise ValueError(f"unknown x_mode {x_mode!r}")
+        self.mesh = mesh if mesh is not None else make_mesh()
+        ndev = self.mesh.devices.size
+        b = config.tile_size
+        m, n = csr.shape
+        tilem_total = -(-m // b)
+        tilem_per = -(-tilem_total // ndev)
+        rows_per = tilem_per * b
+        self.m, self.n = m, n
+        self.rows_per_device = rows_per
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.backend = backend
+        self.x_mode = x_mode
+        # x padded to a multiple of ndev for even sharding
+        self.n_pad = -(-n // ndev) * ndev
+
+        self.tile_matrices = []
+        plans = []
+        for d in range(ndev):
+            block = _row_block(csr, d * rows_per, (d + 1) * rows_per,
+                               rows_per)
+            tm = tile_create(block, config)
+            self.tile_matrices.append(tm)
+            plans.append(build_plan(tm, compute_dtype=compute_dtype))
+        plans = _unify_plans(plans)
+        self.local_plan_struct = plans[0]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+        # place the stacked plan sharded over the mesh
+        self.plan_sharded = jax.device_put(
+            stacked, NamedSharding(self.mesh, P(ROW_AXIS)))
+
+        backend_ = backend
+        x_mode_ = x_mode
+        n_ = n
+
+        def local_step(plan_stack: SpMVPlan, x_in: jax.Array) -> jax.Array:
+            local = jax.tree.map(lambda a: a[0], plan_stack)
+            if x_mode_ == "allgather":
+                x_full = jax.lax.all_gather(x_in, ROW_AXIS, tiled=True)
+            else:
+                x_full = x_in
+            return spmv(local, x_full[:n_], backend=backend_)
+
+        in_x_spec = P(ROW_AXIS) if x_mode == "allgather" else P()
+        self._step = jax.jit(jax.shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(P(ROW_AXIS), in_x_spec),
+            out_specs=P(ROW_AXIS)))
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.m, self.n)
+
+    def __call__(self, x) -> jax.Array:
+        x = jnp.asarray(x, dtype=self.compute_dtype)
+        if x.shape != (self.n,):
+            raise ValueError(f"x has shape {x.shape}, expected ({self.n},)")
+        if self.n_pad != self.n:
+            x = jnp.pad(x, (0, self.n_pad - self.n))
+        if self.x_mode == "allgather":
+            x = jax.device_put(x, NamedSharding(self.mesh, P(ROW_AXIS)))
+        else:
+            x = jax.device_put(x, NamedSharding(self.mesh, P()))
+        y = self._step(self.plan_sharded, x)
+        return y[: self.m]
+
+    def flops(self) -> int:
+        return 2 * self.local_plan_struct.nnz
