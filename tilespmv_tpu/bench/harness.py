@@ -71,7 +71,7 @@ def _spmv_loop(plan: SpMVPlan, x: jax.Array, iters: int,
         s = jnp.sum(y) * jnp.asarray(1e-30, y.dtype)
         return x_cur + s, acc + jnp.sum(y)
 
-    x0 = x.astype(plan.dense.val.dtype)
+    x0 = x
     acc0 = jnp.zeros((), dtype=x0.dtype)
     _, acc = jax.lax.fori_loop(0, iters, body, (x0, acc0))
     return acc

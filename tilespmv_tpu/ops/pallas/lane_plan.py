@@ -1,0 +1,367 @@
+"""Lane-major chunked execution plan for the Pallas engines.
+
+Why a second plan layout: XLA's gather/scatter lowers to element-serial
+loops on TPU (measured ~6.5 ns/element on v5e — a thousand times slower
+than streaming). The Pallas engines therefore need a layout where *nothing*
+is dynamically indexed per element:
+
+* tiles are processed in chunks of T = 128, with the tile index in the
+  **lane** dimension — every per-tile quantity is a (.., T) array and all
+  per-tile math is a full-width VPU op;
+* within each output row-window, tiles are **sorted by tile-column** and
+  chunks are cut so that one chunk's tile-columns fit a contiguous span of
+  SPAN_TC = 128 tile-columns. The x-block gather then costs one dynamic
+  contiguous VMEM copy (the span, 8 KB) plus one one-hot (128, T) matmul on
+  the MXU — no per-element gathers;
+* the y scatter becomes a **one-hot aggregation matmul**: chunks are grouped
+  by output row-window (ROW_WINDOW tile-rows); the chunk's (16, T) tile
+  results are multiplied by a (T, ROW_WINDOW) one-hot row matrix and
+  accumulated into the window's (16, ROW_WINDOW) output block, which Pallas
+  keeps resident in VMEM across the window's consecutive chunks.
+
+This mirrors the reference's warp-per-tile-row-chunk structure
+(tilespmv_cpu.h:68-118, tilespmv_cuda.h:41-47) rebuilt for a VLIW vector
+machine: the warp becomes the 128-lane chunk, shared-memory staging becomes
+the VMEM x-span, and atomics become one-hot matmul aggregation.
+
+The default Pallas path **densifies** every non-COO tile to a full 16x16
+block (the `dense` class); COO tiles run in a sparse-entry class (W x T
+value / packed-index streams — the on-chip residual engine, the CSR5
+analog). The per-tile *storage* formats (TileMatrix) are unchanged — this
+is an execution-time re-mapping driven by the TPU cost model (VPU decode
+cost vs HBM traffic), the same selector idea as reference csr2tile.h:108-328
+applied to different hardware.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.tile_matrix import TileMatrix
+from ..plan import ResidualEngine
+
+T_LANES = 128          # tiles per chunk (lane width)
+SPAN_TC = 128          # tile-columns per chunk's x span (128*16 x values)
+ROW_WINDOW = 256       # tile-rows per output block (16 x 256 floats = 16KB)
+
+# rows of the packed per-tile `meta` operand (shape (nchunks, 8, T) int32 —
+# 8 sublanes to satisfy the TPU (8, 128) block-divisibility constraint)
+META_XLOC = 0   # tilecol - span base, in [0, SPAN_TC); -1 for inert lanes
+META_LROW = 1   # tilerow within the output row-window
+META_RC0 = 4    # sparse class: rows 4..7 hold the W=16 packed (row<<4|col)
+                # bytes, 4 slots per int32 word (slot w -> word w//4,
+                # byte w%4) — the 4-bit codec of core/encode.py, packed
+                # twice more for HBM traffic
+META_ROWS = 8
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseChunks:
+    """Densified-tile class: (nchunks, 16, 16, T) value blocks."""
+    val: Any       # (nchunks, 16, 16, T)
+    meta: Any      # (nchunks, 8, T) int32 — META_* rows
+    cbase: Any     # (nchunks,) int32 — x span base (tile-column units)
+    cw: Any        # (nchunks,) int32 — output window id
+    cfirst: Any    # (nchunks,) int32 — 1 if first chunk of its window
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseChunks:
+    """Sparse-entry class: (nchunks, W, T) values; the packed (row<<4|col)
+    bytes live in meta rows META_RC0.. (4 slots per int32)."""
+    val: Any       # (nchunks, W, T)
+    meta: Any      # (nchunks, 8, T) int32
+    cbase: Any     # (nchunks,) int32
+    cw: Any        # (nchunks,) int32
+    cfirst: Any    # (nchunks,) int32
+
+    width: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LanePlan:
+    dense: Optional[DenseChunks]
+    sparses: tuple  # of SparseChunks
+    residual: ResidualEngine  # leftover entries (HYB overflow / fallback)
+
+    m: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    tilem: int = dataclasses.field(metadata=dict(static=True))
+    tilen: int = dataclasses.field(metadata=dict(static=True))
+    tile_size: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    n_windows: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def x_padded_len(self) -> int:
+        # extra SPAN_TC tile-columns so a span slice never runs off the end
+        return (self.tilen + SPAN_TC) * self.tile_size
+
+    @property
+    def y_padded_len(self) -> int:
+        return self.n_windows * ROW_WINDOW * self.tile_size
+
+    def flops(self) -> int:
+        return 2 * self.nnz
+
+    def bytes_accessed(self) -> int:
+        def nbytes(a):
+            return int(np.prod(a.shape)) * a.dtype.itemsize
+        total = 0
+        if self.dense is not None:
+            d = self.dense
+            total += nbytes(d.val) + nbytes(d.meta)
+        for s in self.sparses:
+            total += nbytes(s.val) + nbytes(s.meta)
+        total += (nbytes(self.residual.val) + nbytes(self.residual.row)
+                  + nbytes(self.residual.col))
+        total += self.x_padded_len * 4 + self.m * 4
+        return total
+
+
+def _densify_tiles(tm: TileMatrix):
+    """All non-COO tiles as (nt, B, B) dense blocks + (trow, tcol),
+    sorted by (trow, tcol)."""
+    b = tm.config.tile_size
+    parts = []
+
+    def geom(tile_ids):
+        trow = tm.tile_rowidx[tile_ids].astype(np.int64)
+        tcol = tm.tile_columnidx[tile_ids].astype(np.int64)
+        return trow, tcol
+
+    def expand(ptr):
+        sizes = np.diff(ptr)
+        owner = np.repeat(np.arange(sizes.shape[0]), sizes)
+        off = np.arange(int(ptr[-1])) - ptr[owner]
+        return owner, off
+
+    bk = tm.dns
+    if bk.num_tiles:
+        trow, tcol = geom(bk.tile_ids)
+        rowlen = tm.rowlen(trow)
+        owner, off = expand(bk.ptr)
+        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
+        blocks[owner, off % rowlen[owner], off // rowlen[owner]] = bk.val
+        parts.append((trow, tcol, blocks))
+
+    bk = tm.csr
+    if bk.num_tiles:
+        trow, tcol = geom(bk.tile_ids)
+        owner, _ = expand(bk.nnz_ptr)
+        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
+        blocks[owner, bk.row, bk.col] = bk.val
+        parts.append((trow, tcol, blocks))
+
+    bk = tm.ell
+    if bk.num_tiles:
+        trow, tcol = geom(bk.tile_ids)
+        rowlen = tm.rowlen(trow)
+        owner, off = expand(bk.ptr)
+        ri = off % rowlen[owner]
+        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
+        # padded slots carry val 0 at col 0 — adding (not assigning) keeps
+        # a real (ri, 0) entry intact
+        np.add.at(blocks, (owner, ri, bk.col.astype(np.int64)), bk.val)
+        parts.append((trow, tcol, blocks))
+
+    # HYB: ELL part only (overflow entries live in the residual, like the
+    # reference's fused kernel, tilespmv_cuda.h:635-660)
+    bk = tm.hyb
+    if bk.num_tiles:
+        trow, tcol = geom(bk.tile_ids)
+        rowlen = tm.rowlen(trow)
+        owner, off = expand(bk.ell_ptr)
+        ri = off % rowlen[owner]
+        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
+        np.add.at(blocks, (owner, ri, bk.ell_col.astype(np.int64)),
+                  bk.ell_val)
+        parts.append((trow, tcol, blocks))
+
+    bk = tm.dnsrow
+    if bk.num_tiles:
+        trow, tcol = geom(bk.tile_ids)
+        collen = tm.collen(tcol)
+        owner, off = expand(bk.ptr)
+        rank = off // collen[owner]
+        ci = off % collen[owner]
+        ri = bk.row_ids[bk.row_ptr[owner] + rank].astype(np.int64)
+        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
+        blocks[owner, ri, ci] = bk.val
+        parts.append((trow, tcol, blocks))
+
+    bk = tm.dnscol
+    if bk.num_tiles:
+        trow, tcol = geom(bk.tile_ids)
+        rowlen = tm.rowlen(trow)
+        owner, off = expand(bk.ptr)
+        rank = off // rowlen[owner]
+        ri = off % rowlen[owner]
+        ci = bk.col_ids[bk.col_ptr[owner] + rank].astype(np.int64)
+        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
+        blocks[owner, ri, ci] = bk.val
+        parts.append((trow, tcol, blocks))
+
+    if not parts:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros((0, b, b), np.float64))
+    trow = np.concatenate([p[0] for p in parts])
+    tcol = np.concatenate([p[1] for p in parts])
+    blocks = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((tcol, trow))
+    return trow[order], tcol[order], blocks[order]
+
+
+def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int):
+    """Cut (row-window, column-span)-local chunks of T_LANES tiles.
+
+    Tiles must arrive sorted by (trow, tcol). Within each ROW_WINDOW of
+    tile-rows, tiles are re-sorted by tile-column and cut greedily: a chunk
+    closes after T_LANES tiles or when the column span would exceed
+    SPAN_TC. Returns per-chunk control scalars + the (nchunks, T) source
+    permutation (`src`, -1 = inert lane) + packed per-tile meta.
+    """
+    T = T_LANES
+    n_windows = max(1, -(-tilem // ROW_WINDOW))
+    win_of_tile = trow // ROW_WINDOW
+
+    chunks_src, cw, cfirst, cbase = [], [], [], []
+    for w in range(n_windows):
+        sel = np.nonzero(win_of_tile == w)[0]
+        if sel.size == 0:
+            chunks_src.append(np.full(T, -1, np.int64))
+            cw.append(w)
+            cfirst.append(1)
+            cbase.append(0)
+            continue
+        order = np.argsort(tcol[sel], kind="stable")
+        s = sel[order]
+        cols = tcol[s]
+        start = 0
+        first = True
+        while start < s.size:
+            base = int(cols[start])
+            stop = int(np.searchsorted(cols, base + SPAN_TC, side="left"))
+            stop = min(stop, start + T, s.size)
+            lane = s[start:stop]
+            padded = np.concatenate(
+                [lane, np.full(T - lane.size, -1, np.int64)])
+            chunks_src.append(padded)
+            cw.append(w)
+            cfirst.append(1 if first else 0)
+            cbase.append(base)
+            first = False
+            start = stop
+    src = np.stack(chunks_src)
+    nchunks = src.shape[0]
+
+    valid = src >= 0
+    safe = np.where(valid, src, 0)
+    tr = np.where(valid, trow[safe], 0)
+    tc = np.where(valid, tcol[safe], 0)
+    cw = np.asarray(cw, np.int32)
+    cbase = np.asarray(cbase, np.int32)
+    lrow = (tr - cw[:, None].astype(np.int64) * ROW_WINDOW).astype(np.int32)
+    lrow = np.where(valid, lrow, 0).astype(np.int32)
+    xloc = (tc - cbase[:, None].astype(np.int64)).astype(np.int32)
+    xloc = np.where(valid, xloc, -1).astype(np.int32)
+
+    meta = np.zeros((nchunks, META_ROWS, T_LANES), np.int32)
+    meta[:, META_XLOC] = xloc
+    meta[:, META_LROW] = lrow
+    return dict(src=src, valid=valid, meta=meta, cw=cw,
+                cfirst=np.asarray(cfirst, np.int32), cbase=cbase,
+                n_windows=n_windows, nchunks=nchunks)
+
+
+def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32) -> LanePlan:
+    """Compile a TileMatrix into the lane-major Pallas plan."""
+    b = tm.config.tile_size
+    if b != 16:
+        raise NotImplementedError("pallas engines require tile_size=16")
+    cdt = np.dtype(compute_dtype)
+
+    trow, tcol, blocks = _densify_tiles(tm)
+    n_windows = max(1, -(-tm.tilem // ROW_WINDOW))
+    dense = None
+    if trow.size:
+        meta = _chunk_metadata(trow, tcol, tm.tilem)
+        valid = meta["valid"]
+        safe = np.where(valid, meta["src"], 0)
+        vt = blocks[safe].astype(cdt)       # (nchunks, T, b_i, b_j)
+        vt[~valid] = 0.0
+        # j-major layout (nchunks, b_j, b_i, T): the kernel's j-th FMA step
+        # reads a contiguous (16, T) slab
+        val = np.ascontiguousarray(vt.transpose(0, 3, 2, 1))
+        dense = DenseChunks(
+            val=jnp.asarray(val), meta=jnp.asarray(meta["meta"]),
+            cbase=jnp.asarray(meta["cbase"]), cw=jnp.asarray(meta["cw"]),
+            cfirst=jnp.asarray(meta["cfirst"]))
+        n_windows = meta["n_windows"]
+
+    # COO tiles -> sparse-entry class W=16 (the on-chip residual engine)
+    sparses = []
+    bk = tm.coo
+    if bk.num_tiles:
+        counts = np.diff(bk.nnz_ptr)
+        W = 16
+        strow = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
+        stcol = tm.tile_columnidx[bk.tile_ids].astype(np.int64)
+        meta = _chunk_metadata(strow, stcol, tm.tilem)
+        valid = meta["valid"]
+        safe = np.where(valid, meta["src"], 0)
+        owner = np.repeat(np.arange(bk.num_tiles), counts)
+        off = np.arange(int(bk.nnz_ptr[-1])) - bk.nnz_ptr[owner]
+        tile_val = np.zeros((bk.num_tiles, W), np.float64)
+        tile_rc = np.full((bk.num_tiles, W), 255, np.int64)
+        tile_val[owner, off] = bk.val
+        tile_rc[owner, off] = (bk.row.astype(np.int64) << 4) | bk.col
+        sval = tile_val[safe].astype(cdt)
+        sval[~valid] = 0.0
+        src_rc = tile_rc[safe]          # (nchunks, T, W)
+        src_rc[~valid] = 255
+        # pack 4 rowcol bytes per int32 word into meta rows META_RC0..
+        words = (src_rc[:, :, 0::4]
+                 | (src_rc[:, :, 1::4] << 8)
+                 | (src_rc[:, :, 2::4] << 16)
+                 | (src_rc[:, :, 3::4] << 24))          # (nchunks, T, W//4)
+        mmeta = meta["meta"]
+        mmeta[:, META_RC0: META_RC0 + W // 4] = (
+            words.transpose(0, 2, 1).astype(np.uint32).view(np.int32))
+        sparses.append(SparseChunks(
+            val=jnp.asarray(np.ascontiguousarray(sval.transpose(0, 2, 1))),
+            meta=jnp.asarray(mmeta), cbase=jnp.asarray(meta["cbase"]),
+            cw=jnp.asarray(meta["cw"]), cfirst=jnp.asarray(meta["cfirst"]),
+            width=W))
+        n_windows = max(n_windows, meta["n_windows"])
+
+    # leftover residual: HYB overflow only (COO tiles are handled on-chip
+    # above; including them here would double count)
+    r = tm.hyb
+    if r.coo_val.size:
+        sizes = np.diff(r.coo_ptr)
+        owner = np.repeat(np.arange(r.num_tiles), sizes)
+        g_row = (tm.tile_rowidx[r.tile_ids[owner]].astype(np.int64) * b
+                 + r.coo_row)
+        g_col = (tm.tile_columnidx[r.tile_ids[owner]].astype(np.int64) * b
+                 + r.coo_col)
+        order = np.lexsort((g_col, g_row))
+        residual = ResidualEngine(
+            val=jnp.asarray(r.coo_val[order].astype(cdt)),
+            row=jnp.asarray(g_row[order].astype(np.int32)),
+            col=jnp.asarray(g_col[order].astype(np.int32)))
+    else:
+        residual = ResidualEngine(val=jnp.zeros(0, cdt),
+                                  row=jnp.zeros(0, jnp.int32),
+                                  col=jnp.zeros(0, jnp.int32))
+
+    return LanePlan(dense=dense, sparses=tuple(sparses), residual=residual,
+                    m=tm.m, n=tm.n, tilem=tm.tilem, tilen=tm.tilen,
+                    tile_size=b, nnz=tm.nnz, n_windows=n_windows)

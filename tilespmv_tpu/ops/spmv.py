@@ -29,19 +29,21 @@ from . import xla_spmv
 from .plan import SpMVPlan, build_plan
 
 
-def _engine_module(backend: str):
-    if backend == "xla":
-        return xla_spmv
-    if backend == "pallas":
-        from .pallas import engines as pallas_engines
-        return pallas_engines
-    raise ValueError(f"unknown backend {backend!r}")
-
-
 @functools.partial(jax.jit, static_argnames=("backend",))
-def spmv(plan: SpMVPlan, x: jax.Array, backend: str = "xla") -> jax.Array:
-    """y = A @ x over an execution plan. Jittable; `backend` is static."""
-    eng = _engine_module(backend)
+def spmv(plan, x: jax.Array, backend: str = "xla") -> jax.Array:
+    """y = A @ x over an execution plan. Jittable; `backend` is static.
+
+    backend "xla" takes a SpMVPlan; "pallas" takes a LanePlan (the
+    lane-major chunked layout the Pallas kernels consume).
+    """
+    if backend == "pallas":
+        from .pallas.kernels import spmv_pallas
+        # interpret mode makes the same code path testable on CPU
+        return spmv_pallas(plan, x,
+                           interpret=jax.default_backend() == "cpu")
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r}")
+    eng = xla_spmv
     b = plan.tile_size
     x_pad = jnp.zeros(plan.x_padded_len, dtype=x.dtype).at[: plan.n].set(x)
     x2d = x_pad.reshape(plan.tilen, b)
@@ -78,12 +80,17 @@ class TileSpMV:
         if isinstance(a, CSRMatrix):
             a = tile_create(a, config)
         self.tile_matrix: TileMatrix = a
-        self.plan: SpMVPlan = build_plan(a, compute_dtype=compute_dtype)
         if backend == "auto":
-            # pallas engines land behind this flag; until then XLA engines
-            # are the default everywhere
-            backend = "xla"
+            # Pallas engines need tile_size 16; everywhere else they beat
+            # the XLA engines by 1-3 orders of magnitude (XLA gathers and
+            # scatters lower to element-serial loops on TPU)
+            backend = "pallas" if config.tile_size == 16 else "xla"
         self.backend = backend
+        if backend == "pallas":
+            from .pallas.lane_plan import build_lane_plan
+            self.plan = build_lane_plan(a, compute_dtype=compute_dtype)
+        else:
+            self.plan = build_plan(a, compute_dtype=compute_dtype)
         self.compute_dtype = jnp.dtype(compute_dtype)
 
     @property
