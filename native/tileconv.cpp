@@ -1,0 +1,312 @@
+// Native tile-conversion core for tilespmv-tpu.
+//
+// C++ equivalent of the reference's OpenMP host converter
+// (reference: src/csr2tile.h convert_step1..4 + Tile_create) rebuilt as a
+// single CSR-aware pass: for each tile-row band, occupied tiles are
+// discovered with an epoch-stamped scratch table (no per-nnz linear tile
+// search like csr2tile.h:403-419), per-tile row/column histograms and the
+// format selector run in-band, and all nonzeros are scattered once into a
+// tile-sorted stream (tile-major, then row-in-tile, then col-in-tile —
+// canonical CSR input keeps this order for free). Python consumes the
+// stream with its existing vectorized bucket fills.
+//
+// Exposed via a C ABI for ctypes. Two-phase protocol:
+//   h = tc_analyze(...)            -> opaque handle (all analysis done)
+//   tc_scalars(h, out[8])          -> tilenum etc.
+//   tc_export_*(h, buffers...)     -> copy results into numpy buffers
+//   tc_release(h)
+//
+// Selector semantics match tilespmv_tpu/core/convert.py exactly (which in
+// turn matches reference csr2tile.h:140-328, including the C int truncation
+// of rowlen*collen*0.75 and the disabled-by-default HYB branch).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct TileRec {
+    int32_t col;          // tile-column
+    int64_t nnz;
+    uint8_t row_hist[16];
+    uint8_t col_hist[16];
+    int8_t fmt;
+    int16_t ell_width;
+    int16_t hyb_width;
+    int32_t hyb_coo;
+};
+
+struct Analysis {
+    int64_t m = 0, n = 0, nnz = 0;
+    int32_t B = 16;
+    int64_t tilem = 0, tilen = 0, tilenum = 0;
+
+    std::vector<int64_t> tile_ptr;      // tilem+1
+    std::vector<int32_t> tile_rowidx;   // tilenum
+    std::vector<int32_t> tile_colidx;   // tilenum
+    std::vector<int64_t> tile_counts;   // tilenum
+    std::vector<uint8_t> row_hist;      // tilenum*16
+    std::vector<uint8_t> col_hist;      // tilenum*16
+    std::vector<int8_t> fmt;            // tilenum
+    std::vector<int16_t> ell_width;     // tilenum
+    std::vector<int16_t> hyb_width;     // tilenum
+    std::vector<int32_t> hyb_coo;       // tilenum
+
+    std::vector<double> val_s;          // nnz, tile-sorted
+    std::vector<uint8_t> ri_s;          // nnz
+    std::vector<uint8_t> ci_s;          // nnz
+};
+
+struct Config {
+    double dense_threshold;
+    int64_t coo_nnz_threshold;
+    double ell_cv_threshold;
+    int32_t enable_hyb;
+    double hyb_cv_threshold;
+    int64_t hyb_max_coo;
+    int32_t force_format;   // -1 = selector; else FMT_* code (0/1/2/4)
+    int32_t value_bytes;    // sizeof value for the HYB io-size model
+};
+
+// Format codes (tilespmv_tpu/config.py)
+constexpr int8_t FMT_CSR = 0, FMT_COO = 1, FMT_ELL = 2, FMT_HYB = 3,
+                 FMT_DNS = 4, FMT_DNSROW = 5, FMT_DNSCOL = 6;
+
+void select_format(TileRec& t, int64_t rowlen, int64_t collen,
+                   const Config& cfg) {
+    const int64_t nnz = t.nnz;
+    if (cfg.force_format >= 0) {
+        t.fmt = static_cast<int8_t>(cfg.force_format);
+        if (t.fmt == FMT_ELL) {
+            uint8_t w = 0;
+            for (int r = 0; r < 16; ++r) w = std::max(w, t.row_hist[r]);
+            t.ell_width = w;
+        }
+        return;
+    }
+    // (a) dense — note the int truncation (csr2tile.h:150)
+    const int64_t dense_th = static_cast<int64_t>(
+        static_cast<double>(rowlen) * static_cast<double>(collen)
+        * cfg.dense_threshold);
+    if (nnz >= dense_th) { t.fmt = FMT_DNS; return; }
+    // (b) COO
+    if (nnz <= cfg.coo_nnz_threshold) { t.fmt = FMT_COO; return; }
+    // (c) dense-row / dense-col, gated on divisibility
+    if (nnz % collen == 0 || nnz % rowlen == 0) {
+        bool row_mult = true; int full_rows = 0;
+        for (int r = 0; r < 16; ++r) {
+            if (t.row_hist[r] % collen != 0) { row_mult = false; break; }
+            if (t.row_hist[r] == collen) ++full_rows;
+        }
+        if (row_mult && full_rows > 0) { t.fmt = FMT_DNSROW; return; }
+        bool col_mult = true; int full_cols = 0;
+        for (int c = 0; c < 16; ++c) {
+            if (t.col_hist[c] % rowlen != 0) { col_mult = false; break; }
+            if (t.col_hist[c] == rowlen) ++full_cols;
+        }
+        if (col_mult && full_cols > 0) { t.fmt = FMT_DNSCOL; return; }
+    }
+    // (d) ELL by row-length coefficient of variation
+    const double mean = static_cast<double>(nnz) / rowlen;
+    double var = 0.0;
+    uint8_t bwidth = 0;
+    for (int64_t r = 0; r < rowlen; ++r) {
+        const double d = t.row_hist[r] - mean;
+        var += d * d;
+        bwidth = std::max(bwidth, t.row_hist[r]);
+    }
+    var /= rowlen;
+    const double cv = std::sqrt(var) / mean;
+    if (cv <= cfg.ell_cv_threshold) {
+        t.fmt = FMT_ELL;
+        t.ell_width = bwidth;
+        return;
+    }
+    // (e) HYB width search (disabled by default, csr2tile.h:308-316)
+    if (cfg.enable_hyb && cv >= cfg.hyb_cv_threshold) {
+        const int64_t vb = cfg.value_bytes;
+        auto iosize = [&](int64_t w, int64_t coonum) {
+            const int64_t ell = w * rowlen;
+            return ell * vb + (ell + 1) / 2 + coonum * (vb + 1);
+        };
+        int64_t w_cur = bwidth;
+        int64_t prior = iosize(bwidth, 0);
+        int64_t coo_prior = 0;
+        for (int64_t wi = bwidth - 1; wi > 0; --wi) {
+            int64_t coonext = 0;
+            for (int64_t r = 0; r < rowlen; ++r)
+                if (t.row_hist[r] > wi) coonext += t.row_hist[r] - wi;
+            const int64_t nxt = iosize(wi, coonext);
+            if (prior <= nxt) { w_cur = wi + 1; break; }
+            w_cur = wi; prior = nxt; coo_prior = coonext;
+        }
+        if (coo_prior <= cfg.hyb_max_coo) {
+            t.fmt = FMT_HYB;
+            t.hyb_width = static_cast<int16_t>(w_cur);
+            t.hyb_coo = static_cast<int32_t>(coo_prior);
+            return;
+        }
+    }
+    t.fmt = FMT_CSR;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tc_analyze(int64_t m, int64_t n, int64_t nnz, int32_t B,
+                 const int64_t* indptr, const int32_t* indices,
+                 const double* data,
+                 double dense_threshold, int64_t coo_nnz_threshold,
+                 double ell_cv_threshold, int32_t enable_hyb,
+                 double hyb_cv_threshold, int64_t hyb_max_coo,
+                 int32_t force_format, int32_t value_bytes) {
+    if (B != 16) return nullptr;  // kernels + nibble codec assume 16
+    Config cfg{dense_threshold, coo_nnz_threshold, ell_cv_threshold,
+               enable_hyb, hyb_cv_threshold, hyb_max_coo, force_format,
+               value_bytes};
+    auto* a = new Analysis();
+    a->m = m; a->n = n; a->nnz = nnz; a->B = B;
+    a->tilem = (m + B - 1) / B;
+    a->tilen = (n + B - 1) / B;
+    a->tile_ptr.assign(a->tilem + 1, 0);
+    a->val_s.resize(nnz);
+    a->ri_s.resize(nnz);
+    a->ci_s.resize(nnz);
+
+    // epoch-stamped tile-column table (per band)
+    std::vector<int64_t> stamp(a->tilen, -1);
+    std::vector<int32_t> slot_of_col(a->tilen, 0);
+
+    std::vector<TileRec> band_tiles;
+    std::vector<int64_t> band_cursor;   // per-tile write cursor
+    band_tiles.reserve(256);
+
+    int64_t out_pos = 0;                // global position in the stream
+    for (int64_t band = 0; band < a->tilem; ++band) {
+        const int64_t r0 = band * B;
+        const int64_t r1 = std::min<int64_t>(m, r0 + B);
+        band_tiles.clear();
+        // pass 1: discover tiles, histograms, counts
+        for (int64_t r = r0; r < r1; ++r) {
+            const uint8_t ri = static_cast<uint8_t>(r - r0);
+            for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
+                const int32_t c = indices[k];
+                const int32_t tc = c / B;
+                const uint8_t ci = static_cast<uint8_t>(c - tc * B);
+                int32_t s;
+                if (stamp[tc] != band) {
+                    stamp[tc] = band;
+                    s = static_cast<int32_t>(band_tiles.size());
+                    slot_of_col[tc] = s;
+                    band_tiles.push_back(TileRec{tc, 0, {0}, {0},
+                                                 -1, 0, 0, 0});
+                    std::memset(band_tiles[s].row_hist, 0, 16);
+                    std::memset(band_tiles[s].col_hist, 0, 16);
+                } else {
+                    s = slot_of_col[tc];
+                }
+                TileRec& t = band_tiles[s];
+                ++t.nnz;
+                ++t.row_hist[ri];
+                ++t.col_hist[ci];
+            }
+        }
+        // order tiles by tile-column; keep slot lookup valid
+        std::sort(band_tiles.begin(), band_tiles.end(),
+                  [](const TileRec& x, const TileRec& y) {
+                      return x.col < y.col;
+                  });
+        for (size_t s = 0; s < band_tiles.size(); ++s)
+            slot_of_col[band_tiles[s].col] = static_cast<int32_t>(s);
+        // selector + cursors
+        const int64_t rowlen = r1 - r0;
+        band_cursor.assign(band_tiles.size(), 0);
+        {
+            int64_t acc = out_pos;
+            for (size_t s = 0; s < band_tiles.size(); ++s) {
+                TileRec& t = band_tiles[s];
+                const int64_t collen =
+                    (t.col == a->tilen - 1) ? (n - (a->tilen - 1) * B) : B;
+                select_format(t, rowlen, collen, cfg);
+                band_cursor[s] = acc;
+                acc += t.nnz;
+            }
+        }
+        // pass 2: scatter nonzeros into the tile-sorted stream. Walking
+        // rows ascending with ascending columns lands each tile's entries
+        // in (row-in-tile, col-in-tile) order automatically.
+        for (int64_t r = r0; r < r1; ++r) {
+            const uint8_t ri = static_cast<uint8_t>(r - r0);
+            for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
+                const int32_t c = indices[k];
+                const int32_t tc = c / B;
+                const int32_t s = slot_of_col[tc];
+                const int64_t pos = band_cursor[s]++;
+                a->val_s[pos] = data[k];
+                a->ri_s[pos] = ri;
+                a->ci_s[pos] = static_cast<uint8_t>(c - tc * B);
+            }
+        }
+        // commit band tiles
+        a->tile_ptr[band + 1] = a->tile_ptr[band]
+            + static_cast<int64_t>(band_tiles.size());
+        for (const TileRec& t : band_tiles) {
+            a->tile_rowidx.push_back(static_cast<int32_t>(band));
+            a->tile_colidx.push_back(t.col);
+            a->tile_counts.push_back(t.nnz);
+            for (int i = 0; i < 16; ++i) a->row_hist.push_back(t.row_hist[i]);
+            for (int i = 0; i < 16; ++i) a->col_hist.push_back(t.col_hist[i]);
+            a->fmt.push_back(t.fmt);
+            a->ell_width.push_back(t.ell_width);
+            a->hyb_width.push_back(t.hyb_width);
+            a->hyb_coo.push_back(t.hyb_coo);
+            out_pos += t.nnz;
+        }
+    }
+    a->tilenum = static_cast<int64_t>(a->tile_rowidx.size());
+    return a;
+}
+
+void tc_scalars(void* h, int64_t out[4]) {
+    auto* a = static_cast<Analysis*>(h);
+    out[0] = a->tilenum;
+    out[1] = a->tilem;
+    out[2] = a->tilen;
+    out[3] = a->nnz;
+}
+
+void tc_export(void* h,
+               int64_t* tile_ptr, int32_t* tile_rowidx, int32_t* tile_colidx,
+               int64_t* tile_counts, uint8_t* row_hist, uint8_t* col_hist,
+               int8_t* fmt, int16_t* ell_width, int16_t* hyb_width,
+               int32_t* hyb_coo, double* val_s, uint8_t* ri_s,
+               uint8_t* ci_s) {
+    auto* a = static_cast<Analysis*>(h);
+    auto cp = [](auto* dst, const auto& src) {
+        std::memcpy(dst, src.data(),
+                    src.size() * sizeof(src[0]));
+    };
+    cp(tile_ptr, a->tile_ptr);
+    cp(tile_rowidx, a->tile_rowidx);
+    cp(tile_colidx, a->tile_colidx);
+    cp(tile_counts, a->tile_counts);
+    cp(row_hist, a->row_hist);
+    cp(col_hist, a->col_hist);
+    cp(fmt, a->fmt);
+    cp(ell_width, a->ell_width);
+    cp(hyb_width, a->hyb_width);
+    cp(hyb_coo, a->hyb_coo);
+    cp(val_s, a->val_s);
+    cp(ri_s, a->ri_s);
+    cp(ci_s, a->ci_s);
+}
+
+void tc_release(void* h) {
+    delete static_cast<Analysis*>(h);
+}
+
+}  // extern "C"

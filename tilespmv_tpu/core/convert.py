@@ -148,27 +148,17 @@ def _select_formats(cfg: TileConfig, counts, rowlen, collen, row_hist,
     return fmt, ell_width, hyb_width, hyb_coo
 
 
-def tile_create(csr: CSRMatrix,
-                config: TileConfig = DEFAULT_CONFIG) -> TileMatrix:
-    """Convert canonical CSR to a TileMatrix (reference `Tile_create`,
-    csr2tile.h:629-1020)."""
-    cfg = config
+def _analyze_numpy(cfg: TileConfig, m, n, tilem, tilen, indptr, indices,
+                   data) -> dict:
+    """Pure-NumPy analysis: sorted nonzero stream + tile table + histograms
+    + selector. The native converter (native/tileconv.cpp) produces the
+    identical dict in one O(nnz) pass."""
     b = cfg.tile_size
-    m, n = csr.shape
-    if cfg.truncate_rows_to_tile:
-        m = (m // b) * b  # reference main.cu:71
-    if m == 0 or n == 0:
-        raise ValueError("empty matrix")
-    tilem = -(-m // b)
-    tilen = -(-n // b)
-
-    indptr = csr.indptr
-    nnz_all = int(indptr[min(m, csr.m)])
-    rows = np.repeat(np.arange(csr.m, dtype=np.int64),
-                     np.diff(indptr))[:nnz_all]
-    cols = csr.indices[:nnz_all].astype(np.int64)
-    vals = np.asarray(csr.data[:nnz_all], dtype=cfg.value_dtype)
-    nnz = rows.shape[0]
+    nnz = int(indptr[-1])
+    rows = np.repeat(np.arange(indptr.shape[0] - 1, dtype=np.int64),
+                     np.diff(indptr))
+    cols = indices.astype(np.int64)
+    vals = np.asarray(data, dtype=np.float64)
 
     trow = rows // b
     tcol = cols // b
@@ -187,11 +177,8 @@ def tile_create(csr: CSRMatrix,
     tile_colidx = (tile_key % tilen).astype(np.int32)
     tile_ptr = _exclusive_scan(
         np.bincount(tile_rowidx, minlength=tilem).astype(np.int64))
-    tile_nnz = _exclusive_scan(counts)
 
     tile_of_nnz = np.repeat(np.arange(tilenum, dtype=np.int64), counts)
-    pos_in_tile = np.arange(nnz, dtype=np.int64) - tile_nnz[tile_of_nnz]
-
     # Per-tile row/col histograms (reference tile_csr_ptr, csr2tile.h:77-101)
     row_hist = np.bincount(tile_of_nnz * b + ri_s,
                            minlength=tilenum * b).reshape(tilenum, b)
@@ -204,9 +191,66 @@ def tile_create(csr: CSRMatrix,
                       b).astype(np.int64)
     collen = np.where(tile_colidx == tilen - 1, n - (tilen - 1) * b,
                       b).astype(np.int64)
-
-    fmt, ell_width, hyb_width, hyb_coo_cnt = _select_formats(
+    fmt, ell_width, hyb_width, hyb_coo = _select_formats(
         cfg, counts, rowlen, collen, row_hist, col_hist)
+    return dict(tilem=tilem, tilen=tilen, tile_ptr=tile_ptr,
+                tile_rowidx=tile_rowidx, tile_colidx=tile_colidx,
+                counts=counts, row_hist=row_hist, col_hist=col_hist,
+                fmt=fmt, ell_width=ell_width, hyb_width=hyb_width,
+                hyb_coo=hyb_coo, val_s=val_s, ri_s=ri_s, ci_s=ci_s)
+
+
+def tile_create(csr: CSRMatrix,
+                config: TileConfig = DEFAULT_CONFIG,
+                use_native: bool = True) -> TileMatrix:
+    """Convert canonical CSR to a TileMatrix (reference `Tile_create`,
+    csr2tile.h:629-1020). Uses the native C++ analysis when available
+    (`use_native=False` or TILESPMV_NATIVE=0 forces the NumPy path)."""
+    cfg = config
+    b = cfg.tile_size
+    m, n = csr.shape
+    if cfg.truncate_rows_to_tile:
+        m = (m // b) * b  # reference main.cu:71
+    if m == 0 or n == 0:
+        raise ValueError("empty matrix")
+    tilem = -(-m // b)
+    tilen = -(-n // b)
+
+    indptr = np.ascontiguousarray(csr.indptr[: m + 1], dtype=np.int64)
+    nnz = int(indptr[-1])
+    indices = csr.indices[:nnz]
+    data = csr.data[:nnz]
+
+    analysis = None
+    if use_native:
+        from . import native
+        analysis = native.analyze(m, n, indptr, indices, data, cfg)
+    if analysis is None:
+        analysis = _analyze_numpy(cfg, m, n, tilem, tilen, indptr, indices,
+                                  data)
+
+    tile_ptr = analysis["tile_ptr"]
+    tile_rowidx = analysis["tile_rowidx"]
+    tile_colidx = analysis["tile_colidx"]
+    counts = analysis["counts"]
+    row_hist = analysis["row_hist"]
+    col_hist = analysis["col_hist"]
+    fmt = analysis["fmt"]
+    ell_width = analysis["ell_width"]
+    hyb_width = analysis["hyb_width"]
+    hyb_coo_cnt = analysis["hyb_coo"]
+    val_s = analysis["val_s"]
+    ri_s = analysis["ri_s"]
+    ci_s = analysis["ci_s"]
+
+    tilenum = tile_rowidx.shape[0]
+    tile_nnz = _exclusive_scan(counts)
+    tile_of_nnz = np.repeat(np.arange(tilenum, dtype=np.int64), counts)
+    pos_in_tile = np.arange(nnz, dtype=np.int64) - tile_nnz[tile_of_nnz]
+    rowlen = np.where(tile_rowidx == tilem - 1, m - (tilem - 1) * b,
+                      b).astype(np.int64)
+    collen = np.where(tile_colidx == tilen - 1, n - (tilen - 1) * b,
+                      b).astype(np.int64)
 
     # Per-tile exclusive row scan: start offset of each intra-tile row
     row_start = np.zeros((tilenum, b), dtype=np.int64)

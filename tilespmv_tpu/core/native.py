@@ -1,0 +1,126 @@
+"""ctypes bridge to the native converter (native/tileconv.cpp).
+
+Builds `native/libtileconv.so` on first use if a C++ toolchain is present;
+falls back silently to the NumPy converter otherwise. The native analysis
+does the reference's 4-pass conversion work (csr2tile.h) in one CSR-aware
+O(nnz) pass; Python keeps the (vectorized, cheap) payload bucket fills.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libtileconv.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it if needed; None if
+    unavailable (disabled via TILESPMV_NATIVE=0, no toolchain, ...)."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("TILESPMV_NATIVE", "1") == "0":
+            return None
+        if not _LIB_PATH.exists() and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+        lib.tc_analyze.restype = ctypes.c_void_p
+        lib.tc_analyze.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.tc_scalars.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.tc_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 13
+        lib.tc_release.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def analyze(m: int, n: int, indptr: np.ndarray, indices: np.ndarray,
+            data: np.ndarray, cfg) -> Optional[dict]:
+    """Run the native analysis; returns the converter-internal dict or
+    None when the native path can't serve this config."""
+    if cfg.tile_size != 16:
+        return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data64 = np.ascontiguousarray(data, dtype=np.float64)
+    nnz = int(indptr[-1])
+    force = {"csr": 0, "coo": 1, "ell": 2, "dns": 4}.get(
+        cfg.force_format, -1)
+    h = lib.tc_analyze(
+        m, n, nnz, cfg.tile_size,
+        indptr.ctypes.data, indices.ctypes.data, data64.ctypes.data,
+        cfg.dense_threshold, cfg.coo_nnz_threshold, cfg.ell_cv_threshold,
+        1 if cfg.enable_hyb else 0, cfg.hyb_cv_threshold, cfg.hyb_max_coo,
+        force, np.dtype(cfg.value_dtype).itemsize)
+    if not h:
+        return None
+    try:
+        scalars = np.zeros(4, np.int64)
+        lib.tc_scalars(h, scalars.ctypes.data)
+        tilenum, tilem, tilen, _ = (int(v) for v in scalars)
+        out = dict(
+            tilem=tilem, tilen=tilen,
+            tile_ptr=np.zeros(tilem + 1, np.int64),
+            tile_rowidx=np.zeros(tilenum, np.int32),
+            tile_colidx=np.zeros(tilenum, np.int32),
+            counts=np.zeros(tilenum, np.int64),
+            row_hist=np.zeros((tilenum, 16), np.uint8),
+            col_hist=np.zeros((tilenum, 16), np.uint8),
+            fmt=np.zeros(tilenum, np.int8),
+            ell_width=np.zeros(tilenum, np.int16),
+            hyb_width=np.zeros(tilenum, np.int16),
+            hyb_coo=np.zeros(tilenum, np.int32),
+            val_s=np.zeros(nnz, np.float64),
+            ri_s=np.zeros(nnz, np.uint8),
+            ci_s=np.zeros(nnz, np.uint8),
+        )
+        lib.tc_export(
+            h,
+            out["tile_ptr"].ctypes.data, out["tile_rowidx"].ctypes.data,
+            out["tile_colidx"].ctypes.data, out["counts"].ctypes.data,
+            out["row_hist"].ctypes.data, out["col_hist"].ctypes.data,
+            out["fmt"].ctypes.data, out["ell_width"].ctypes.data,
+            out["hyb_width"].ctypes.data, out["hyb_coo"].ctypes.data,
+            out["val_s"].ctypes.data, out["ri_s"].ctypes.data,
+            out["ci_s"].ctypes.data)
+        out["row_hist"] = out["row_hist"].astype(np.int32)
+        out["col_hist"] = out["col_hist"].astype(np.int32)
+        return out
+    finally:
+        lib.tc_release(h)
