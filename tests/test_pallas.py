@@ -12,8 +12,8 @@ import jax.numpy as jnp
 
 from tilespmv_tpu import TileConfig, tile_create
 from tilespmv_tpu.io import generate
-from tilespmv_tpu.ops.pallas.lane_plan import (ROW_WINDOW, SPAN_TC, T_LANES,
-                                               build_lane_plan)
+from tilespmv_tpu.ops.pallas.lane_plan import (ROW_WINDOW, SPAN_TC,
+                                               T_CHOICES, build_lane_plan)
 from tilespmv_tpu.ops.pallas.kernels import spmv_pallas
 from tilespmv_tpu.ops.spmv import TileSpMV
 
@@ -90,7 +90,8 @@ def test_lane_plan_structure():
     tm = tile_create(csr)
     plan = build_lane_plan(tm)
     d = plan.dense
-    assert d.val.shape[1:] == (16, 16, T_LANES)
+    assert d.val.shape[1:] == (16, 16, d.t_lanes)
+    assert d.t_lanes in T_CHOICES
     # every chunk's span base is within the (padded) x block range
     assert int(jnp.max(d.cbase)) + SPAN_TC <= plan.x_padded_len // 16
     # chunk windows are non-decreasing (VMEM-resident revisiting relies

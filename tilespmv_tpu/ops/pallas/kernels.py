@@ -31,28 +31,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .lane_plan import (META_LROW, META_RC0, META_ROWS, META_XLOC,
-                        ROW_WINDOW, SPAN_TC, T_LANES, DenseChunks, LanePlan,
+                        ROW_WINDOW, SPAN_TC, DenseChunks, LanePlan,
                         SparseChunks)
 
 _B = 16  # tile edge; kernels are specialized to 16
 
 
-def _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, acc_dtype):
+def _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, t: int, acc_dtype):
     """Stage the chunk's x span and build xg (16, T) via a one-hot MXU
     matmul."""
     xs_scr[...] = x2d_ref[pl.ds(cbase[i], SPAN_TC), :]      # (SPAN_TC, 16)
     xst = xs_scr[...].T.astype(acc_dtype)                   # (16, SPAN_TC)
     loc = meta_ref[0, META_XLOC]                            # (T,)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (SPAN_TC, T_LANES), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (SPAN_TC, t), 0)
     oh = jnp.where(loc[None, :] == iota, jnp.asarray(1.0, acc_dtype),
                    jnp.asarray(0.0, acc_dtype))
     return jnp.dot(xst, oh, preferred_element_type=acc_dtype)  # (16, T)
 
 
-def _aggregate(i, cfirst, yc, meta_ref, out_ref, acc_dtype):
+def _aggregate(i, cfirst, yc, meta_ref, out_ref, t: int, acc_dtype):
     """Accumulate the chunk result into its row-window output block."""
     lr = meta_ref[0, META_LROW]  # (T,)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (T_LANES, ROW_WINDOW), 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (t, ROW_WINDOW), 1)
     ohr = jnp.where(lr[:, None] == iota_r, jnp.asarray(1.0, acc_dtype),
                     jnp.asarray(0.0, acc_dtype))
     yblk = jnp.dot(yc, ohr, preferred_element_type=acc_dtype)  # (16, RW)
@@ -70,24 +70,24 @@ def _dense_kernel(cbase, cw, cfirst,               # scalar prefetch
                   x2d_ref, val_ref, meta_ref,      # inputs
                   out_ref,                         # output
                   xs_scr,                          # scratch
-                  *, acc_dtype):
+                  *, t: int, acc_dtype):
     i = pl.program_id(0)
-    xg = _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, acc_dtype)
+    xg = _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, t, acc_dtype)
     # val is j-major: val[0, j] is the contiguous (16_i, T) slab of the
     # tiles' j-th columns
     yc = functools.reduce(
         lambda a, j: a + (val_ref[0, j].astype(acc_dtype)
                           * xg[j, :][None, :]),
-        range(_B), jnp.zeros((_B, T_LANES), acc_dtype))
-    _aggregate(i, cfirst, yc, meta_ref, out_ref, acc_dtype)
+        range(_B), jnp.zeros((_B, t), acc_dtype))
+    _aggregate(i, cfirst, yc, meta_ref, out_ref, t, acc_dtype)
 
 
 def _sparse_kernel(cbase, cw, cfirst,
                    x2d_ref, val_ref, meta_ref,
                    out_ref, xs_scr,
-                   *, width: int, acc_dtype):
+                   *, width: int, t: int, acc_dtype):
     i = pl.program_id(0)
-    xg = _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, acc_dtype)
+    xg = _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, t, acc_dtype)
     v = val_ref[0].astype(acc_dtype)                # (W, T)
     # unpack the (row<<4|col) bytes from meta words (4 slots per int32);
     # arithmetic shift then mask keeps byte 3 correct despite the sign bit
@@ -97,7 +97,7 @@ def _sparse_kernel(cbase, cw, cfirst,
     row = rc >> 4
     col = rc & 15
     # intra-tile x gather: 16-way select sum (one-hot over the x block)
-    xv = jnp.zeros((width, T_LANES), acc_dtype)
+    xv = jnp.zeros((width, t), acc_dtype)
     for k in range(_B):
         xv += jnp.where(col == k, xg[k, :][None, :],
                         jnp.asarray(0.0, acc_dtype))
@@ -108,7 +108,7 @@ def _sparse_kernel(cbase, cw, cfirst,
                     axis=0, keepdims=True)
             for k in range(_B)]
     yc = jnp.concatenate(rows, axis=0)              # (16, T)
-    _aggregate(i, cfirst, yc, meta_ref, out_ref, acc_dtype)
+    _aggregate(i, cfirst, yc, meta_ref, out_ref, t, acc_dtype)
 
 
 def _grid_spec(nchunks, tensor_specs):
@@ -140,10 +140,11 @@ def dense_class_call(d: DenseChunks, x2d: jax.Array, n_windows: int,
     """Run the dense-tile class; returns y2dT (16, n_windows*ROW_WINDOW)."""
     nchunks = d.val.shape[0]
     acc_dtype = jnp.float32 if x2d.dtype != jnp.float64 else jnp.float64
-    kernel = functools.partial(_dense_kernel, acc_dtype=acc_dtype)
+    kernel = functools.partial(_dense_kernel, t=d.t_lanes,
+                               acc_dtype=acc_dtype)
     tensor_specs = [
-        _chunk_spec((_B, _B, T_LANES)),     # val
-        _chunk_spec((META_ROWS, T_LANES)),  # meta
+        _chunk_spec((_B, _B, d.t_lanes)),     # val
+        _chunk_spec((META_ROWS, d.t_lanes)),  # meta
     ]
     return pl.pallas_call(
         kernel,
@@ -159,11 +160,11 @@ def sparse_class_call(s: SparseChunks, x2d: jax.Array, n_windows: int,
     """Run one sparse-entry class; returns y2dT (16, n_windows*RW)."""
     nchunks = s.val.shape[0]
     acc_dtype = jnp.float32 if x2d.dtype != jnp.float64 else jnp.float64
-    kernel = functools.partial(_sparse_kernel, width=s.width,
+    kernel = functools.partial(_sparse_kernel, width=s.width, t=s.t_lanes,
                                acc_dtype=acc_dtype)
     tensor_specs = [
-        _chunk_spec((s.width, T_LANES)),    # val
-        _chunk_spec((META_ROWS, T_LANES)),  # meta (incl. packed rowcol)
+        _chunk_spec((s.width, s.t_lanes)),    # val
+        _chunk_spec((META_ROWS, s.t_lanes)),  # meta (incl. packed rowcol)
     ]
     return pl.pallas_call(
         kernel,

@@ -44,8 +44,8 @@ import numpy as np
 from ...core.tile_matrix import TileMatrix
 from ..plan import ResidualEngine
 
-T_LANES = 128          # tiles per chunk (lane width)
-SPAN_TC = 128          # tile-columns per chunk's x span (128*16 x values)
+T_CHOICES = (128, 256, 512)   # tiles per chunk (lane-dim width classes)
+SPAN_TC = 256          # tile-columns per chunk's x span (256*16 x values)
 ROW_WINDOW = 256       # tile-rows per output block (16 x 256 floats = 16KB)
 
 # rows of the packed per-tile `meta` operand (shape (nchunks, 8, T) int32 —
@@ -69,6 +69,8 @@ class DenseChunks:
     cw: Any        # (nchunks,) int32 — output window id
     cfirst: Any    # (nchunks,) int32 — 1 if first chunk of its window
 
+    t_lanes: int = dataclasses.field(metadata=dict(static=True))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +84,7 @@ class SparseChunks:
     cfirst: Any    # (nchunks,) int32
 
     width: int = dataclasses.field(metadata=dict(static=True))
+    t_lanes: int = dataclasses.field(metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -219,16 +222,29 @@ def _densify_tiles(tm: TileMatrix):
     return trow[order], tcol[order], blocks[order]
 
 
-def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int):
-    """Cut (row-window, column-span)-local chunks of T_LANES tiles.
+def _pick_t(n_tiles: int, tilem: int) -> int:
+    """Lane width per chunk: wide chunks amortize per-chunk fixed costs
+    (measured ~4x on v5e), narrow ones waste less padding in thinly
+    populated row windows."""
+    n_windows = max(1, -(-tilem // ROW_WINDOW))
+    avg = n_tiles / n_windows
+    for t in reversed(T_CHOICES):
+        if avg >= 1.4 * t:
+            return t
+    return T_CHOICES[0]
+
+
+def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
+                    t_lanes: int):
+    """Cut (row-window, column-span)-local chunks of `t_lanes` tiles.
 
     Tiles must arrive sorted by (trow, tcol). Within each ROW_WINDOW of
     tile-rows, tiles are re-sorted by tile-column and cut greedily: a chunk
-    closes after T_LANES tiles or when the column span would exceed
+    closes after `t_lanes` tiles or when the column span would exceed
     SPAN_TC. Returns per-chunk control scalars + the (nchunks, T) source
     permutation (`src`, -1 = inert lane) + packed per-tile meta.
     """
-    T = T_LANES
+    T = t_lanes
     n_windows = max(1, -(-tilem // ROW_WINDOW))
     win_of_tile = trow // ROW_WINDOW
 
@@ -273,7 +289,7 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int):
     xloc = (tc - cbase[:, None].astype(np.int64)).astype(np.int32)
     xloc = np.where(valid, xloc, -1).astype(np.int32)
 
-    meta = np.zeros((nchunks, META_ROWS, T_LANES), np.int32)
+    meta = np.zeros((nchunks, META_ROWS, T), np.int32)
     meta[:, META_XLOC] = xloc
     meta[:, META_LROW] = lrow
     return dict(src=src, valid=valid, meta=meta, cw=cw,
@@ -292,7 +308,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32) -> LanePlan:
     n_windows = max(1, -(-tm.tilem // ROW_WINDOW))
     dense = None
     if trow.size:
-        meta = _chunk_metadata(trow, tcol, tm.tilem)
+        t_lanes = _pick_t(trow.size, tm.tilem)
+        meta = _chunk_metadata(trow, tcol, tm.tilem, t_lanes)
         valid = meta["valid"]
         safe = np.where(valid, meta["src"], 0)
         vt = blocks[safe].astype(cdt)       # (nchunks, T, b_i, b_j)
@@ -303,7 +320,7 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32) -> LanePlan:
         dense = DenseChunks(
             val=jnp.asarray(val), meta=jnp.asarray(meta["meta"]),
             cbase=jnp.asarray(meta["cbase"]), cw=jnp.asarray(meta["cw"]),
-            cfirst=jnp.asarray(meta["cfirst"]))
+            cfirst=jnp.asarray(meta["cfirst"]), t_lanes=t_lanes)
         n_windows = meta["n_windows"]
 
     # COO tiles -> sparse-entry class W=16 (the on-chip residual engine)
@@ -314,7 +331,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32) -> LanePlan:
         W = 16
         strow = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
         stcol = tm.tile_columnidx[bk.tile_ids].astype(np.int64)
-        meta = _chunk_metadata(strow, stcol, tm.tilem)
+        t_lanes = _pick_t(bk.num_tiles, tm.tilem)
+        meta = _chunk_metadata(strow, stcol, tm.tilem, t_lanes)
         valid = meta["valid"]
         safe = np.where(valid, meta["src"], 0)
         owner = np.repeat(np.arange(bk.num_tiles), counts)
@@ -339,7 +357,7 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32) -> LanePlan:
             val=jnp.asarray(np.ascontiguousarray(sval.transpose(0, 2, 1))),
             meta=jnp.asarray(mmeta), cbase=jnp.asarray(meta["cbase"]),
             cw=jnp.asarray(meta["cw"]), cfirst=jnp.asarray(meta["cfirst"]),
-            width=W))
+            width=W, t_lanes=t_lanes))
         n_windows = max(n_windows, meta["n_windows"])
 
     # leftover residual: HYB overflow only (COO tiles are handled on-chip
