@@ -297,8 +297,42 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
                 n_windows=n_windows, nchunks=nchunks)
 
 
-def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32) -> LanePlan:
-    """Compile a TileMatrix into the lane-major Pallas plan."""
+def empty_dense_class(n_windows: int, t_lanes: int,
+                      compute_dtype=jnp.float32) -> DenseChunks:
+    """A class of all-inert chunks, one per window (initializes the class
+    output to zero; used to unify shard plans for SPMD)."""
+    cdt = np.dtype(compute_dtype)
+    meta = np.zeros((n_windows, META_ROWS, t_lanes), np.int32)
+    meta[:, META_XLOC] = -1
+    return DenseChunks(
+        val=jnp.zeros((n_windows, 16, 16, t_lanes), cdt),
+        meta=jnp.asarray(meta),
+        cbase=jnp.zeros(n_windows, jnp.int32),
+        cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
+        cfirst=jnp.ones(n_windows, jnp.int32),
+        t_lanes=t_lanes)
+
+
+def empty_sparse_class(n_windows: int, t_lanes: int, width: int = 16,
+                       compute_dtype=jnp.float32) -> SparseChunks:
+    cdt = np.dtype(compute_dtype)
+    meta = np.zeros((n_windows, META_ROWS, t_lanes), np.int32)
+    meta[:, META_XLOC] = -1
+    return SparseChunks(
+        val=jnp.zeros((n_windows, width, t_lanes), cdt),
+        meta=jnp.asarray(meta),
+        cbase=jnp.zeros(n_windows, jnp.int32),
+        cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
+        cfirst=jnp.ones(n_windows, jnp.int32),
+        width=width, t_lanes=t_lanes)
+
+
+def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
+                    force_t: int | None = None) -> LanePlan:
+    """Compile a TileMatrix into the lane-major Pallas plan.
+
+    `force_t` pins the chunk lane width for every class (used by the
+    distributed layer so shard plans share one program)."""
     b = tm.config.tile_size
     if b != 16:
         raise NotImplementedError("pallas engines require tile_size=16")
@@ -308,7 +342,7 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32) -> LanePlan:
     n_windows = max(1, -(-tm.tilem // ROW_WINDOW))
     dense = None
     if trow.size:
-        t_lanes = _pick_t(trow.size, tm.tilem)
+        t_lanes = force_t or _pick_t(trow.size, tm.tilem)
         meta = _chunk_metadata(trow, tcol, tm.tilem, t_lanes)
         valid = meta["valid"]
         safe = np.where(valid, meta["src"], 0)
@@ -331,7 +365,7 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32) -> LanePlan:
         W = 16
         strow = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
         stcol = tm.tile_columnidx[bk.tile_ids].astype(np.int64)
-        t_lanes = _pick_t(bk.num_tiles, tm.tilem)
+        t_lanes = force_t or _pick_t(bk.num_tiles, tm.tilem)
         meta = _chunk_metadata(strow, stcol, tm.tilem, t_lanes)
         valid = meta["valid"]
         safe = np.where(valid, meta["src"], 0)

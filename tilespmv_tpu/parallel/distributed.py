@@ -37,7 +37,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, TileConfig
 from ..core.convert import tile_create
 from ..io.mmio import CSRMatrix
-from ..ops.plan import SpMVPlan, build_plan
+from ..ops.plan import ResidualEngine, SpMVPlan, build_plan
 from ..ops.spmv import spmv
 from .mesh import ROW_AXIS, make_mesh
 
@@ -177,21 +177,109 @@ def _unify_plans(plans: list[SpMVPlan]) -> list[SpMVPlan]:
     return out
 
 
+def _unify_lane_plans(plans: list) -> list:
+    """Give per-shard LanePlans identical treedefs/shapes (SPMD): every
+    shard gets every class, chunk counts padded to the max with inert
+    chunks appended at the last window (cw stays monotone)."""
+    from ..ops.pallas.lane_plan import (META_ROWS, META_XLOC, DenseChunks,
+                                        SparseChunks, LanePlan,
+                                        empty_dense_class,
+                                        empty_sparse_class)
+    n_windows = max(p.n_windows for p in plans)
+    cdt = None
+    for p in plans:
+        if p.dense is not None:
+            cdt = p.dense.val.dtype
+        for s in p.sparses:
+            cdt = s.val.dtype
+    cdt = cdt or jnp.float32
+    t_dense = max((p.dense.t_lanes for p in plans if p.dense is not None),
+                  default=128)
+    has_sparse = any(p.sparses for p in plans)
+    t_sparse = max((s.t_lanes for p in plans for s in p.sparses),
+                   default=128)
+
+    def pad_class(c, target, n_windows, is_dense):
+        nc = c.val.shape[0]
+        if nc == target:
+            return c
+        extra = target - nc
+        t = c.t_lanes
+        meta_pad = np.zeros((extra, META_ROWS, t), np.int32)
+        meta_pad[:, META_XLOC] = -1
+        kw = dict(
+            val=jnp.concatenate(
+                [c.val, jnp.zeros((extra,) + c.val.shape[1:], c.val.dtype)]),
+            meta=jnp.concatenate([c.meta, jnp.asarray(meta_pad)]),
+            cbase=jnp.concatenate([c.cbase, jnp.zeros(extra, jnp.int32)]),
+            cw=jnp.concatenate(
+                [c.cw, jnp.full(extra, n_windows - 1, jnp.int32)]),
+            cfirst=jnp.concatenate([c.cfirst, jnp.zeros(extra, jnp.int32)]),
+        )
+        if is_dense:
+            return DenseChunks(t_lanes=t, **kw)
+        return SparseChunks(width=c.width, t_lanes=t, **kw)
+
+    denses = []
+    for p in plans:
+        d = p.dense if p.dense is not None else empty_dense_class(
+            n_windows, t_dense, cdt)
+        denses.append(d)
+    nd = max(d.val.shape[0] for d in denses)
+    denses = [pad_class(d, nd, n_windows, True) for d in denses]
+
+    sparses = []
+    if has_sparse:
+        per = []
+        for p in plans:
+            s = p.sparses[0] if p.sparses else empty_sparse_class(
+                n_windows, t_sparse, 16, cdt)
+            per.append(s)
+        ns = max(s.val.shape[0] for s in per)
+        sparses = [(pad_class(s, ns, n_windows, False),) for s in per]
+    else:
+        sparses = [() for _ in plans]
+
+    res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
+    total_nnz = sum(p.nnz for p in plans)
+    out = []
+    for i, p in enumerate(plans):
+        e = p.residual
+        n0 = e.val.shape[0]
+        if n0 != res_n:
+            last_row = e.row[-1] if n0 else jnp.zeros((), jnp.int32)
+            e = ResidualEngine(
+                val=_pad_leading(e.val, res_n),
+                row=jnp.concatenate(
+                    [e.row, jnp.full(res_n - n0, last_row, jnp.int32)]),
+                col=_pad_leading(e.col, res_n))
+        out.append(LanePlan(
+            dense=denses[i], sparses=sparses[i], residual=e,
+            m=p.m, n=p.n, tilem=p.tilem, tilen=p.tilen,
+            tile_size=p.tile_size, nnz=total_nnz, n_windows=n_windows))
+    return out
+
+
 class DistributedSpMV:
     """Row-partitioned SpMV over a 1-D device mesh.
 
     >>> op = DistributedSpMV(csr, mesh=make_mesh())
     >>> y = op(x)          # y sharded P('row') over the mesh
+
+    backend "pallas" runs the lane-major Pallas engines per shard;
+    "xla" the jnp engines; "auto" picks pallas for 16-sized tiles.
     """
 
     def __init__(self, csr: CSRMatrix,
                  mesh: Optional[Mesh] = None,
                  config: TileConfig = DEFAULT_CONFIG,
                  compute_dtype=jnp.float32,
-                 backend: str = "xla",
+                 backend: str = "auto",
                  x_mode: str = "allgather"):
         if x_mode not in ("allgather", "replicated"):
             raise ValueError(f"unknown x_mode {x_mode!r}")
+        if backend == "auto":
+            backend = "pallas" if config.tile_size == 16 else "xla"
         self.mesh = mesh if mesh is not None else make_mesh()
         ndev = self.mesh.devices.size
         b = config.tile_size
@@ -214,8 +302,16 @@ class DistributedSpMV:
                                rows_per)
             tm = tile_create(block, config)
             self.tile_matrices.append(tm)
-            plans.append(build_plan(tm, compute_dtype=compute_dtype))
-        plans = _unify_plans(plans)
+            if backend == "pallas":
+                from ..ops.pallas.lane_plan import build_lane_plan
+                plans.append(build_lane_plan(
+                    tm, compute_dtype=compute_dtype, force_t=128))
+            else:
+                plans.append(build_plan(tm, compute_dtype=compute_dtype))
+        if backend == "pallas":
+            plans = _unify_lane_plans(plans)
+        else:
+            plans = _unify_plans(plans)
         self.local_plan_struct = plans[0]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
         # place the stacked plan sharded over the mesh
@@ -235,10 +331,12 @@ class DistributedSpMV:
             return spmv(local, x_full[:n_], backend=backend_)
 
         in_x_spec = P(ROW_AXIS) if x_mode == "allgather" else P()
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+        # annotation yet
         self._step = jax.jit(jax.shard_map(
             local_step, mesh=self.mesh,
             in_specs=(P(ROW_AXIS), in_x_spec),
-            out_specs=P(ROW_AXIS)))
+            out_specs=P(ROW_AXIS), check_vma=False))
 
     @property
     def shape(self) -> tuple[int, int]:
