@@ -1,0 +1,57 @@
+"""Aux subsystem tests: host utils, serialization, engine profiling."""
+import numpy as np
+import pytest
+
+from tilespmv_tpu import TileConfig, csr_from_coo, tile_create
+from tilespmv_tpu.core.serialize import load_tile_matrix, save_tile_matrix
+from tilespmv_tpu.io import generate
+from tilespmv_tpu.ops.cpu_reference import spmv_cpu
+from tilespmv_tpu.ops.spmv import TileSpMV
+from tilespmv_tpu.utils import (binary_search_right_boundary, csr_transpose,
+                                exclusive_scan, profile_engines)
+
+
+def test_exclusive_scan():
+    np.testing.assert_array_equal(exclusive_scan([3, 1, 4]), [0, 3, 4, 8])
+    np.testing.assert_array_equal(exclusive_scan([]), [0])
+
+
+def test_binary_search_right_boundary():
+    b = np.array([0, 3, 4, 8])
+    np.testing.assert_array_equal(
+        binary_search_right_boundary(b, np.array([0, 2, 3, 7])),
+        [0, 0, 1, 2])
+
+
+def test_csr_transpose_roundtrip():
+    csr = generate.mixed_structure(100, 77, seed=31)
+    t = csr_transpose(csr)
+    np.testing.assert_allclose(t.to_dense(), csr.to_dense().T)
+    tt = csr_transpose(t)
+    np.testing.assert_allclose(tt.to_dense(), csr.to_dense())
+
+
+def test_tile_matrix_save_load(tmp_path):
+    csr = generate.mixed_structure(512, 300, seed=32)
+    tm = tile_create(csr, TileConfig(coo_nnz_threshold=10))
+    p = str(tmp_path / "tm.npz")
+    save_tile_matrix(p, tm)
+    back = load_tile_matrix(p)
+    assert back.shape == tm.shape and back.nnz == tm.nnz
+    assert back.config.coo_nnz_threshold == 10
+    np.testing.assert_array_equal(back.fmt, tm.fmt)
+    x = np.linspace(-1, 1, tm.n)
+    np.testing.assert_array_equal(spmv_cpu(back, x), spmv_cpu(tm, x))
+    # loaded container feeds the device operator directly
+    op = TileSpMV(back, config=back.config, backend="pallas")
+    y = np.asarray(op(x.astype(np.float32)))
+    np.testing.assert_allclose(y, csr.to_dense().astype(np.float32)
+                               @ x.astype(np.float32), rtol=2e-4, atol=1e-4)
+
+
+def test_profile_engines_smoke():
+    csr = generate.mixed_structure(512, 512, seed=33)
+    op = TileSpMV(csr, backend="pallas")
+    prof = profile_engines(op)
+    assert "dense" in prof and prof["dense"]["us"] > 0
+    assert any(k.startswith("sparse") for k in prof)

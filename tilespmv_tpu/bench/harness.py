@@ -106,8 +106,18 @@ def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
         x = ((np.arange(plan.n) % 10) / 4.0)
     xj = jnp.asarray(x, dtype=op.compute_dtype)
 
-    k_small = max(1, iters_per_rep // 20)
-    k_big = iters_per_rep
+    # Calibrate: pick k_big so the k_big-vs-k_small delta (the quantity we
+    # actually measure) is ~50 ms — far above host-round-trip jitter. One
+    # extra compile, but tiny matrices would otherwise measure noise.
+    k_cal = 32
+    t_cal = _timed(functools.partial(_spmv_loop, backend=op.backend,
+                                     iters=k_cal), plan, xj)
+    t_cal = _timed(functools.partial(_spmv_loop, backend=op.backend,
+                                     iters=k_cal), plan, xj)  # warm
+    per_iter_est = max((t_cal - 0.02) / k_cal, 1e-7)
+    k_big = int(np.clip(0.05 / per_iter_est, iters_per_rep, 1_000_000))
+    k_small = max(1, k_big // 16)
+
     for _ in range(max(warmup, 1)):
         _timed(functools.partial(_spmv_loop, backend=op.backend,
                                  iters=k_small), plan, xj)

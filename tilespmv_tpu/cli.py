@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append results here ('' disables)")
     p.add_argument("--no-check", action="store_true",
                    help="skip correctness validation")
+    p.add_argument("--profile", action="store_true",
+                   help="per-format-class cost breakdown "
+                        "(reference DEBUG_FORMATCOST parity)")
+    p.add_argument("--save-tiles", default=None, metavar="PATH.npz",
+                   help="checkpoint the converted TileMatrix")
+    p.add_argument("--load-tiles", default=None, metavar="PATH.npz",
+                   help="load a converted TileMatrix instead of converting")
     p.add_argument("--x-pattern", default="mod10",
                    choices=["mod10", "ones", "random"],
                    help="mod10 matches the reference driver "
@@ -98,7 +105,15 @@ def main(argv=None) -> int:
           f"[loaded in {time.perf_counter() - t0:.3f}s]")
 
     t0 = time.perf_counter()
-    tm = tile_create(csr, config)
+    if args.load_tiles:
+        from .core.serialize import load_tile_matrix
+        tm = load_tile_matrix(args.load_tiles)
+        config = tm.config
+    else:
+        tm = tile_create(csr, config)
+    if args.save_tiles:
+        from .core.serialize import save_tile_matrix
+        save_tile_matrix(args.save_tiles, tm)
     print(f"tiles: {tm.tilenum} ({tm.tilem} x {tm.tilen} grid) "
           f"formats = { {k: v for k, v in tm.format_histogram().items() if v} } "
           f"residual nnz = {tm.residual.nnz} "
@@ -135,6 +150,14 @@ def main(argv=None) -> int:
               f"(errors = {errors})")
         if errors:
             return 1
+
+    if args.profile and op.backend == "pallas":
+        from .utils.profiling import profile_engines
+        print("per-format-class cost profile:")
+        for cls_name, stats in profile_engines(op, x=x).items():
+            print(f"  {cls_name}: " + "  ".join(
+                f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in stats.items()))
 
     res = benchmark_op(op, x=x, name=args.matrix, warmup=args.warmup,
                        timed_reps=args.reps, iters_per_rep=args.iters)

@@ -1,0 +1,104 @@
+"""Per-engine cost profiling + tracing hooks.
+
+TPU-native version of the reference's per-format cost instrumentation
+(`DEBUG_FORMATCOST` / `formatprofile`, reference main.cu:12 and
+tilespmv_cuda.h:102-110,525-533): times each execution-plan class
+separately so the cost of every tile format family is visible, plus a
+`jax.profiler` trace context for deep dives.
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timed(fn, reps: int = 3, k1: int = 25, k2: int = 425) -> float:
+    """Difference-method timing of a nullary on-device fn (see
+    bench/harness.py for why: the tunneled backend only synchronizes on a
+    host transfer). Never returns a negative (jitter on tiny kernels)."""
+    from jax import lax
+
+    def looped(iters):
+        def body(i, acc):
+            out = fn()
+            return acc + jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
+        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    f1 = jax.jit(functools.partial(looped, k1))
+    f2 = jax.jit(functools.partial(looped, k2))
+    for f in (f1, f2):
+        float(f())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); float(f1()); ta = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(f2()); tb = time.perf_counter() - t0
+        ts.append((tb - ta) / (k2 - k1))
+    return max(float(np.median(ts)), 1e-9)
+
+
+def profile_engines(op, x=None) -> dict[str, dict]:
+    """Per-class timing breakdown of a TileSpMV operator.
+
+    Returns {class_name: {"us": .., "bytes": .., "gbps": ..}} — the analog
+    of the reference's per-format cost profile. Pallas backend only.
+    """
+    from ..ops.pallas.kernels import dense_class_call, sparse_class_call
+    from ..ops.pallas.lane_plan import LanePlan
+
+    plan = op.plan
+    if not isinstance(plan, LanePlan):
+        raise ValueError("profile_engines requires the pallas backend")
+    if x is None:
+        x = ((np.arange(plan.n) % 10) / 4.0)
+    xj = jnp.asarray(x, dtype=op.compute_dtype)
+    x_pad = jnp.zeros(plan.x_padded_len, xj.dtype).at[: plan.n].set(xj)
+    x2d = x_pad.reshape(-1, plan.tile_size)
+
+    def nbytes(*arrays):
+        return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrays)
+
+    interp = jax.default_backend() == "cpu"
+    out = {}
+    if plan.dense is not None:
+        d = plan.dense
+        dt = _timed(lambda: dense_class_call(d, x2d, plan.n_windows,
+                                             interpret=interp))
+        b = nbytes(d.val, d.meta)
+        out["dense"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
+                        "chunks": int(d.val.shape[0]),
+                        "t_lanes": d.t_lanes}
+    for i, s in enumerate(plan.sparses):
+        dt = _timed(lambda s=s: sparse_class_call(s, x2d, plan.n_windows,
+                                                  interpret=interp))
+        b = nbytes(s.val, s.meta)
+        out[f"sparse_w{s.width}"] = {
+            "us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
+            "chunks": int(s.val.shape[0]), "t_lanes": s.t_lanes}
+    if plan.residual.val.shape[0]:
+        r = plan.residual
+
+        def res_fn():
+            contrib = r.val * x_pad[r.col]
+            return jax.ops.segment_sum(contrib, r.row,
+                                       num_segments=plan.y_padded_len,
+                                       indices_are_sorted=True)
+        dt = _timed(res_fn)
+        b = nbytes(r.val, r.row, r.col)
+        out["residual"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9}
+    return out
+
+
+@contextlib.contextmanager
+def trace_context(logdir: str):
+    """jax.profiler trace wrapper (the deep-dive analog of the reference's
+    gettimeofday spans, main.cu:62-65)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
