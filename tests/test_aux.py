@@ -54,4 +54,5 @@ def test_profile_engines_smoke():
     op = TileSpMV(csr, backend="pallas")
     prof = profile_engines(op)
     assert "dense" in prof and prof["dense"]["us"] > 0
-    assert any(k.startswith("sparse") for k in prof)
+    assert any(k.startswith("sparse") or k == "stream"
+               for k in prof)

@@ -1,0 +1,88 @@
+"""Entry-level stream engine (ops/pallas/stream_plan.py) tests.
+
+Validates the slab builder + Pallas kernel (interpret mode) against an
+exact scatter-add golden model, including hub rows (long same-row runs),
+non-multiple shapes, and the full spmv path with the stream engine forced.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tilespmv_tpu.io import generate
+from tilespmv_tpu.core.convert import tile_create
+from tilespmv_tpu.ops.pallas.lane_plan import build_lane_plan
+from tilespmv_tpu.ops.pallas.kernels import spmv_pallas, stream_class_call
+from tilespmv_tpu.ops.pallas.stream_plan import (RW_ROWS,
+                                                 build_stream_chunks)
+
+
+def _run_stream(m, n, nnz, seed, heavy_row=False):
+    rng = np.random.default_rng(seed)
+    row = rng.integers(0, m, nnz).astype(np.int64)
+    col = rng.integers(0, n, nnz).astype(np.int64)
+    if heavy_row:
+        row[: nnz // 3] = rng.integers(0, 3, nnz // 3)  # hub rows
+    val = rng.standard_normal(nnz)
+    sc, spill = build_stream_chunks(row, col, val, m)
+    nw2 = max(1, -(-m // RW_ROWS))
+    x = rng.standard_normal(n).astype(np.float32)
+    xpad = np.zeros(((n + 127) // 128 + 64) * 128, np.float32)
+    xpad[:n] = x
+    ys = stream_class_call(sc, jnp.asarray(xpad.reshape(-1, 128)), nw2,
+                           interpret=True)
+    got = (np.asarray(ys).reshape(8, nw2, 128).transpose(1, 0, 2)
+           .reshape(-1)[:m].astype(np.float64))
+    np.add.at(got, spill[0], spill[2] * x[spill[1]])
+    want = np.zeros(m, np.float64)
+    np.add.at(want, row, val * x[col].astype(np.float64))
+    err = np.max(np.abs(got - want) / (1.0 + np.abs(want)))
+    assert err < 1e-5, f"stream relerr {err}"
+
+
+@pytest.mark.parametrize("m,n,nnz,seed,heavy", [
+    (2048, 2048, 5000, 1, False),
+    (4096, 4096, 40000, 2, False),
+    (1000, 3000, 20000, 3, False),      # non-multiple m/n
+    (4096, 4096, 30000, 4, True),       # hub rows: long same-row runs
+    (128, 128, 300, 5, False),
+])
+def test_stream_engine_matches_golden(m, n, nnz, seed, heavy):
+    _run_stream(m, n, nnz, seed, heavy_row=heavy)
+
+
+def test_stream_dense_windows_no_spill():
+    # dense windows force the full round budget; nothing should spill
+    rng = np.random.default_rng(6)
+    m = n = 8192
+    nnz = 200000
+    row = rng.integers(0, m, nnz).astype(np.int64)
+    col = rng.integers(0, n, nnz).astype(np.int64)
+    val = rng.standard_normal(nnz)
+    sc, spill = build_stream_chunks(row, col, val, m)
+    assert spill[0].size < nnz // 100
+    _run_stream(m, n, nnz, 6)
+
+
+def test_full_spmv_with_stream_forced():
+    csr = generate.get_matrix("mixed_small")
+    tm = tile_create(csr)
+    plan = build_lane_plan(tm, use_stream=True)
+    assert plan.stream is not None
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    y = np.asarray(spmv_pallas(plan, jnp.asarray(x), interpret=True))
+    want = csr.to_dense().astype(np.float64) @ x
+    err = np.max(np.abs(y - want) / (1.0 + np.abs(want)))
+    assert err < 1e-4
+
+
+def test_full_spmv_nondyadic_inputs():
+    # non-dyadic x/values catch bf16 truncation in the one-hot matmuls
+    csr = generate.get_matrix("mixed_small")
+    tm = tile_create(csr)
+    plan = build_lane_plan(tm, use_stream=False)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(csr.n).astype(np.float32)
+    y = np.asarray(spmv_pallas(plan, jnp.asarray(x), interpret=True))
+    want = csr.to_dense().astype(np.float64) @ x
+    err = np.max(np.abs(y - want) / (1.0 + np.abs(want)))
+    assert err < 1e-4

@@ -43,8 +43,11 @@ import numpy as np
 
 from ...core.tile_matrix import TileMatrix
 from ..plan import ResidualEngine
+from .stream_plan import (RW_ROWS, SPAN_ROWS, StreamChunks,
+                          build_stream_chunks)
 
 T_CHOICES = (128, 256, 512)   # tiles per chunk (lane-dim width classes)
+STREAM_MIN_ENTRIES = 2048     # below this the per-tile COO class wins
 SPAN_TC = 256          # tile-columns per chunk's x span (256*16 x values)
 ROW_WINDOW = 256       # tile-rows per output block (16 x 256 floats = 16KB)
 
@@ -93,6 +96,7 @@ class LanePlan:
     dense: Optional[DenseChunks]
     sparses: tuple  # of SparseChunks
     residual: ResidualEngine  # leftover entries (HYB overflow / fallback)
+    stream: Optional[StreamChunks]  # entry-level engine (COO tiles)
 
     m: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
@@ -111,6 +115,15 @@ class LanePlan:
     def y_padded_len(self) -> int:
         return self.n_windows * ROW_WINDOW * self.tile_size
 
+    @property
+    def x_padded_len128(self) -> int:
+        # stream-class x layout: (rows, 128) with SPAN_ROWS of slack
+        return (-(-self.n // 128) + SPAN_ROWS) * 128
+
+    @property
+    def n_stream_windows(self) -> int:
+        return max(1, -(-self.m // RW_ROWS))
+
     def flops(self) -> int:
         return 2 * self.nnz
 
@@ -123,6 +136,10 @@ class LanePlan:
             total += nbytes(d.val) + nbytes(d.meta)
         for s in self.sparses:
             total += nbytes(s.val) + nbytes(s.meta)
+        if self.stream is not None:
+            st = self.stream
+            total += (nbytes(st.val) + nbytes(st.vidx) + nbytes(st.rend)
+                      + nbytes(st.rstart) + nbytes(st.rsrc))
         total += (nbytes(self.residual.val) + nbytes(self.residual.row)
                   + nbytes(self.residual.col))
         total += self.x_padded_len * 4 + self.m * 4
@@ -328,11 +345,16 @@ def empty_sparse_class(n_windows: int, t_lanes: int, width: int = 16,
 
 
 def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
-                    force_t: int | None = None) -> LanePlan:
+                    force_t: int | None = None,
+                    use_stream: bool | None = None,
+                    stream_rounds: int | None = None) -> LanePlan:
     """Compile a TileMatrix into the lane-major Pallas plan.
 
     `force_t` pins the chunk lane width for every class (used by the
-    distributed layer so shard plans share one program)."""
+    distributed layer so shard plans share one program). `use_stream`
+    forces the COO tiles into (True) or out of (False) the entry-level
+    stream engine; None = auto by entry count. `stream_rounds` pads the
+    stream scatter-round count (SPMD unification)."""
     b = tm.config.tile_size
     if b != 16:
         raise NotImplementedError("pallas engines require tile_size=16")
@@ -357,10 +379,33 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             cfirst=jnp.asarray(meta["cfirst"]), t_lanes=t_lanes)
         n_windows = meta["n_windows"]
 
-    # COO tiles -> sparse-entry class W=16 (the on-chip residual engine)
+    # COO tiles: entry-level stream engine when there is enough work to
+    # amortize slabs, else the per-tile sparse-entry class
     sparses = []
+    stream = None
+    spill = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.float64))
+    coo_entries = int(tm.coo.val.shape[0]) if tm.coo.num_tiles else 0
+    if use_stream is None:
+        use_stream = coo_entries >= STREAM_MIN_ENTRIES
+    if use_stream:
+        bk = tm.coo
+        if bk.num_tiles:
+            counts = np.diff(bk.nnz_ptr)
+            owner = np.repeat(np.arange(bk.num_tiles), counts)
+            g_row = (tm.tile_rowidx[bk.tile_ids[owner]].astype(np.int64) * b
+                     + bk.row)
+            g_col = (tm.tile_columnidx[bk.tile_ids[owner]].astype(np.int64)
+                     * b + bk.col)
+            stream, spill = build_stream_chunks(
+                g_row, g_col, bk.val, tm.m, compute_dtype=cdt,
+                pad_rounds=stream_rounds)
+        else:
+            from .stream_plan import empty_stream_chunks
+            stream = empty_stream_chunks(max(1, -(-tm.m // RW_ROWS)),
+                                         stream_rounds or 1, cdt)
     bk = tm.coo
-    if bk.num_tiles:
+    if bk.num_tiles and not use_stream:
         counts = np.diff(bk.nnz_ptr)
         W = 16
         strow = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
@@ -394,19 +439,27 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             width=W, t_lanes=t_lanes))
         n_windows = max(n_windows, meta["n_windows"])
 
-    # leftover residual: HYB overflow only (COO tiles are handled on-chip
-    # above; including them here would double count)
+    # leftover residual: HYB overflow (COO tiles are handled on-chip
+    # above; including them here would double count) + stream spill
+    res_rows = [spill[0]]
+    res_cols = [spill[1]]
+    res_vals = [spill[2]]
     r = tm.hyb
     if r.coo_val.size:
         sizes = np.diff(r.coo_ptr)
         owner = np.repeat(np.arange(r.num_tiles), sizes)
-        g_row = (tm.tile_rowidx[r.tile_ids[owner]].astype(np.int64) * b
-                 + r.coo_row)
-        g_col = (tm.tile_columnidx[r.tile_ids[owner]].astype(np.int64) * b
-                 + r.coo_col)
+        res_rows.append(tm.tile_rowidx[r.tile_ids[owner]].astype(np.int64)
+                        * b + r.coo_row)
+        res_cols.append(tm.tile_columnidx[r.tile_ids[owner]]
+                        .astype(np.int64) * b + r.coo_col)
+        res_vals.append(r.coo_val.astype(np.float64))
+    g_row = np.concatenate(res_rows)
+    g_col = np.concatenate(res_cols)
+    g_val = np.concatenate(res_vals)
+    if g_val.size:
         order = np.lexsort((g_col, g_row))
         residual = ResidualEngine(
-            val=jnp.asarray(r.coo_val[order].astype(cdt)),
+            val=jnp.asarray(g_val[order].astype(cdt)),
             row=jnp.asarray(g_row[order].astype(np.int32)),
             col=jnp.asarray(g_col[order].astype(np.int32)))
     else:
@@ -415,5 +468,6 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                                   col=jnp.zeros(0, jnp.int32))
 
     return LanePlan(dense=dense, sparses=tuple(sparses), residual=residual,
+                    stream=stream,
                     m=tm.m, n=tm.n, tilem=tm.tilem, tilen=tm.tilen,
                     tile_size=b, nnz=tm.nnz, n_windows=n_windows)

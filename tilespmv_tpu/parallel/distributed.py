@@ -185,6 +185,7 @@ def _unify_lane_plans(plans: list) -> list:
                                         SparseChunks, LanePlan,
                                         empty_dense_class,
                                         empty_sparse_class)
+    from ..ops.pallas.stream_plan import (StreamChunks, empty_stream_chunks)
     n_windows = max(p.n_windows for p in plans)
     cdt = None
     for p in plans:
@@ -240,6 +241,44 @@ def _unify_lane_plans(plans: list) -> list:
     else:
         sparses = [() for _ in plans]
 
+    has_stream = any(p.stream is not None for p in plans)
+    streams = [None] * len(plans)
+    if has_stream:
+        rounds = max(p.stream.rounds for p in plans if p.stream is not None)
+        nw2 = max(p.n_stream_windows for p in plans)
+        per = [p.stream if p.stream is not None
+               else empty_stream_chunks(nw2, rounds, cdt) for p in plans]
+        ns = max(s.nslabs for s in per)
+
+        def pad_stream(s):
+            rend, rstart, rsrc = s.rend, s.rstart, s.rsrc
+            if s.rounds < rounds:
+                # padded rounds have end == start == 0 -> zero diff
+                padr = [(0, 0), (0, (rounds - s.rounds) * 8), (0, 0)]
+                rend = jnp.pad(rend, padr)
+                rstart = jnp.pad(rstart, padr)
+                rsrc = jnp.pad(rsrc, padr)
+            extra = ns - s.nslabs
+            if extra:
+                def padn(a):
+                    return jnp.concatenate(
+                        [a, jnp.zeros((extra,) + a.shape[1:], a.dtype)])
+                xsteps = extra // s.s_batch
+                return StreamChunks(
+                    val=padn(s.val), vidx=padn(s.vidx), rend=padn(rend),
+                    rstart=padn(rstart), rsrc=padn(rsrc),
+                    sbase=padn(s.sbase),
+                    cw=jnp.concatenate(
+                        [s.cw, jnp.full(xsteps, nw2 - 1, jnp.int32)]),
+                    cfirst=jnp.concatenate(
+                        [s.cfirst, jnp.zeros(xsteps, jnp.int32)]),
+                    rounds=rounds, s_batch=s.s_batch)
+            return StreamChunks(
+                val=s.val, vidx=s.vidx, rend=rend, rstart=rstart,
+                rsrc=rsrc, sbase=s.sbase, cw=s.cw, cfirst=s.cfirst,
+                rounds=rounds, s_batch=s.s_batch)
+        streams = [pad_stream(s) for s in per]
+
     res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
     total_nnz = sum(p.nnz for p in plans)
     out = []
@@ -255,6 +294,7 @@ def _unify_lane_plans(plans: list) -> list:
                 col=_pad_leading(e.col, res_n))
         out.append(LanePlan(
             dense=denses[i], sparses=sparses[i], residual=e,
+            stream=streams[i],
             m=p.m, n=p.n, tilem=p.tilem, tilen=p.tilen,
             tile_size=p.tile_size, nnz=total_nnz, n_windows=n_windows))
     return out
@@ -302,11 +342,19 @@ class DistributedSpMV:
                                rows_per)
             tm = tile_create(block, config)
             self.tile_matrices.append(tm)
-            if backend == "pallas":
-                from ..ops.pallas.lane_plan import build_lane_plan
+        if backend == "pallas":
+            from ..ops.pallas.lane_plan import (STREAM_MIN_ENTRIES,
+                                                build_lane_plan)
+            coo_total = sum(
+                int(tm.coo.val.shape[0]) if tm.coo.num_tiles else 0
+                for tm in self.tile_matrices)
+            use_stream = coo_total >= STREAM_MIN_ENTRIES
+            for tm in self.tile_matrices:
                 plans.append(build_lane_plan(
-                    tm, compute_dtype=compute_dtype, force_t=128))
-            else:
+                    tm, compute_dtype=compute_dtype, force_t=128,
+                    use_stream=use_stream))
+        else:
+            for tm in self.tile_matrices:
                 plans.append(build_plan(tm, compute_dtype=compute_dtype))
         if backend == "pallas":
             plans = _unify_lane_plans(plans)

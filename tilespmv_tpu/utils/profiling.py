@@ -47,7 +47,8 @@ def profile_engines(op, x=None) -> dict[str, dict]:
     Returns {class_name: {"us": .., "bytes": .., "gbps": ..}} — the analog
     of the reference's per-format cost profile. Pallas backend only.
     """
-    from ..ops.pallas.kernels import dense_class_call, sparse_class_call
+    from ..ops.pallas.kernels import (dense_class_call,
+                                      sparse_class_call, stream_class_call)
     from ..ops.pallas.lane_plan import LanePlan
 
     plan = op.plan
@@ -79,6 +80,16 @@ def profile_engines(op, x=None) -> dict[str, dict]:
         out[f"sparse_w{s.width}"] = {
             "us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
             "chunks": int(s.val.shape[0]), "t_lanes": s.t_lanes}
+    if plan.stream is not None:
+        st = plan.stream
+        x128 = (jnp.zeros(plan.x_padded_len128, xj.dtype)
+                .at[: plan.n].set(xj).reshape(-1, 128))
+        dt = _timed(lambda: stream_class_call(st, x128,
+                                              plan.n_stream_windows,
+                                              interpret=interp))
+        b = nbytes(st.val, st.vidx, st.rend, st.rstart, st.rsrc)
+        out["stream"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
+                         "slabs": int(st.nslabs), "rounds": st.rounds}
     if plan.residual.val.shape[0]:
         r = plan.residual
 
