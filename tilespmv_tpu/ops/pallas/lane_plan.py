@@ -347,7 +347,8 @@ def empty_sparse_class(n_windows: int, t_lanes: int, width: int = 16,
 def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                     force_t: int | None = None,
                     use_stream: bool | None = None,
-                    stream_rounds: int | None = None) -> LanePlan:
+                    stream_rounds: int | None = None,
+                    stream_s_batch: int | None = None) -> LanePlan:
     """Compile a TileMatrix into the lane-major Pallas plan.
 
     `force_t` pins the chunk lane width for every class (used by the
@@ -399,11 +400,12 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                      * b + bk.col)
             stream, spill = build_stream_chunks(
                 g_row, g_col, bk.val, tm.m, compute_dtype=cdt,
-                pad_rounds=stream_rounds)
+                pad_rounds=stream_rounds, s_batch=stream_s_batch)
         else:
             from .stream_plan import empty_stream_chunks
             stream = empty_stream_chunks(max(1, -(-tm.m // RW_ROWS)),
-                                         stream_rounds or 1, cdt)
+                                         stream_rounds or 4, cdt,
+                                         s_batch=stream_s_batch or 4)
     bk = tm.coo
     if bk.num_tiles and not use_stream:
         counts = np.diff(bk.nnz_ptr)

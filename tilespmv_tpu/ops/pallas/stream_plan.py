@@ -132,7 +132,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                         val: np.ndarray, m: int,
                         compute_dtype=jnp.float32, max_rounds: int = 8,
                         pad_rounds: Optional[int] = None,
-                        s_batch: int = 4):
+                        s_batch: Optional[int] = None):
     """Compile a global COO entry list into stream slabs.
 
     Returns (StreamChunks | None, spill) where spill = (row, col, val)
@@ -225,6 +225,13 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     # pad each window's slab count to a multiple of s_batch (a grid step
     # processes s_batch same-window slabs)
     uw2, cnt = np.unique(win_arr, return_counts=True)
+    if s_batch is None:
+        # wide steps amortize grid bookkeeping (measured ~40% on v5e) but
+        # waste padding in thinly populated windows
+        avg = nslabs / max(1, uw2.shape[0])
+        s_batch = 1
+        while s_batch < 16 and s_batch * 2 <= avg:
+            s_batch *= 2
     pcnt = -(-cnt // s_batch) * s_batch
     new_start = np.concatenate([[0], np.cumsum(pcnt)])[:-1]
     old_start = np.concatenate([[0], np.cumsum(cnt)])[:-1]

@@ -352,7 +352,7 @@ class DistributedSpMV:
             for tm in self.tile_matrices:
                 plans.append(build_lane_plan(
                     tm, compute_dtype=compute_dtype, force_t=128,
-                    use_stream=use_stream))
+                    use_stream=use_stream, stream_s_batch=4))
         else:
             for tm in self.tile_matrices:
                 plans.append(build_plan(tm, compute_dtype=compute_dtype))
