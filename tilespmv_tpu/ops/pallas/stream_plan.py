@@ -101,31 +101,38 @@ def empty_stream_chunks(n_windows: int, rounds: int,
         rounds=rounds, s_batch=s_batch)
 
 
+def _rank_within(key: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its equal-key group."""
+    n = key.shape[0]
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    new = np.ones(n, bool)
+    new[1:] = ks[1:] != ks[:-1]
+    startpos = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+    rk = np.empty(n, np.int64)
+    rk[order] = np.arange(n) - startpos
+    return rk
+
+
 def _assign_rounds(slab: np.ndarray, j: np.ndarray, src: np.ndarray,
-                   tgt: np.ndarray, max_iters: int = 24) -> np.ndarray:
-    """Greedy bipartite edge coloring: per (slab, lane column j), no two
-    contributors may share a round with equal source sublane or equal
-    target sublane. Returns the round of each contributor (may exceed any
-    cap; caller spills)."""
-    n = slab.shape[0]
-    t = np.zeros(n, np.int64)
-    if n == 0:
-        return t
-    base = np.int64(1024)  # > max rounds we will ever reach
-    for _ in range(max_iters):
-        bumped = False
-        for comp in (src, tgt):
-            key = ((slab * LANES + j) * SUBS + comp) * base + t
-            order = np.argsort(key, kind="stable")
-            ks = key[order]
-            dup = np.zeros(n, bool)
-            dup[order[1:]] = ks[1:] == ks[:-1]
-            if dup.any():
-                t[dup] += 1
-                bumped = True
-        if not bumped:
-            return t
-    return t
+                   tgt: np.ndarray, nslabs: int) -> np.ndarray:
+    """Proper edge coloring of each (slab, lane column) cell's bipartite
+    contributor graph (source sublane x target sublane), sort-free.
+
+    Within a cell, target <-> row is a bijection, so (src, tgt) pairs are
+    distinct: the graph is *simple* on Z8 x Z8, and color = (src + tgt)
+    mod 8 is always proper (all-distinct targets per source and vice
+    versa). Colors are then compacted per cell (rank among used colors,
+    via an 8-bit used-mask and a popcount LUT) so lightly loaded cells
+    need few rounds. Never exceeds 8 rounds; nothing ever spills."""
+    color = ((src + tgt) % SUBS).astype(np.uint8)
+    used = np.zeros((nslabs, LANES), np.uint8)
+    np.bitwise_or.at(used, (slab, j), np.uint8(1) << color)
+    pop = np.zeros(256, np.int64)
+    for mask in range(256):
+        pop[mask] = bin(mask).count("1")
+    below = used[slab, j] & ((np.uint16(1) << color) - 1).astype(np.uint8)
+    return pop[below]
 
 
 def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
@@ -148,23 +155,19 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
         return None, empty_spill
 
     win = (g_row >> 10).astype(np.int64)
-    order0 = np.lexsort((g_col, win))
+    # single composite-key argsort (3x cheaper than lexsort)
+    order0 = np.argsort((win << 33) | g_col.astype(np.int64),
+                        kind="stable")
     r = g_row[order0].astype(np.int64)
     c = g_col[order0].astype(np.int64)
     v = val[order0]
     win = win[order0]
 
-    # --- cut (window, 8192-col span) groups; within each, bucket entries
-    # by 1024-col sublane window, sort by row, split at CAP per sublane ---
-    slab_of = np.empty(nz, np.int64)
-    sub_of = np.empty(nz, np.int64)
-    lane_of = np.empty(nz, np.int64)
-    perm = np.empty(nz, np.int64)  # final entry order (slab,sub,row)
-    slab_base: list[int] = []
-    slab_win: list[int] = []
-    nslabs = 0
-    pos = 0
-
+    # --- cut (window, 8192-col span) group boundaries (cheap sequential
+    # scan; all heavy work is done globally afterwards) ---
+    g_starts: list[int] = []
+    g_bases: list[int] = []
+    g_wins: list[int] = []
     uwin, wstart = np.unique(win, return_index=True)
     wend = np.append(wstart[1:], nz)
     for wi in range(uwin.shape[0]):
@@ -173,46 +176,59 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
         i = s
         while i < e:
             base = (int(c[i]) >> 7) << 7
-            j = s + int(np.searchsorted(cols, base + SPAN_ROWS * LANES))
-            sub = (c[i:j] - base) >> 10
-            ord2 = np.lexsort((r[i:j], sub))
-            gsub = sub[ord2]
-            # position within each sublane run
-            changes = np.nonzero(np.diff(gsub))[0] + 1
-            starts = np.concatenate([[0], changes])
-            run_id = np.zeros(j - i, np.int64)
-            run_id[changes] = 1
-            run_id = np.cumsum(run_id)
-            pis = np.arange(j - i) - starts[run_id]
-            k = pis // CAP
-            nsl = int(k.max()) + 1 if j > i else 0
-            idx = i + ord2
-            slab_of[pos:pos + j - i] = nslabs + k
-            sub_of[pos:pos + j - i] = gsub
-            lane_of[pos:pos + j - i] = pis % CAP + 1
-            perm[pos:pos + j - i] = idx
-            slab_base.extend([base] * nsl)
-            slab_win.extend([int(uwin[wi])] * nsl)
-            nslabs += nsl
-            pos += j - i
-            i = j
+            g_starts.append(i)
+            g_bases.append(base)
+            g_wins.append(int(uwin[wi]))
+            i = s + int(np.searchsorted(cols, base + SPAN_ROWS * LANES))
+    ngroups = len(g_starts)
+    gsz = np.diff(np.append(np.asarray(g_starts, np.int64), nz))
+    gbase = np.asarray(g_bases, np.int64)
+    gwin = np.asarray(g_wins, np.int64)
+
+    # bucket entries by 1024-col sublane window, sort by row, split at CAP
+    # per sublane — one global lexsort over (group, sublane, row)
+    group_of = np.repeat(np.arange(ngroups), gsz)
+    sub_all = (c - gbase[group_of]) >> 10
+    # rows within a group share one window -> 10-bit local row suffices
+    ord2 = np.argsort(((group_of * SUBS + sub_all) << 10)
+                      | (r & (RW_ROWS - 1)), kind="stable")
+    r, c, v = r[ord2], c[ord2], v[ord2]
+    sub_of = sub_all[ord2]
+    key2 = group_of * SUBS + sub_of          # group_of unchanged by ord2
+    newk = np.ones(nz, bool)
+    newk[1:] = key2[1:] != key2[:-1]
+    startpos = np.maximum.accumulate(np.where(newk, np.arange(nz), 0))
+    pis = np.arange(nz) - startpos
+    k = pis // CAP
+    lane_of = pis % CAP + 1
+    # slabs per group = max over its sublanes of ceil(count / CAP)
+    gstart_sorted = np.concatenate([[0], np.cumsum(gsz)])[:-1]
+    nsl_per_group = np.maximum.reduceat(k, gstart_sorted) + 1
+    gslab_start = np.concatenate([[0], np.cumsum(nsl_per_group)])[:-1]
+    slab_of = gslab_start[group_of] + k
+    nslabs = int(nsl_per_group.sum())
+    base_arr = np.repeat(gbase, nsl_per_group)
+    win_arr = np.repeat(gwin, nsl_per_group)
 
     # inert slab for windows with no entries (initializes their output)
-    have = np.zeros(n_windows, bool)
-    have[np.asarray(slab_win, np.int64)] = True
-    for w in np.nonzero(~have)[0]:
-        slab_base.append(0)
-        slab_win.append(int(w))
-        nslabs += 1
+    missing = np.setdiff1d(np.arange(n_windows), uwin, assume_unique=True)
+    if missing.size:
+        base_arr = np.concatenate([base_arr,
+                                   np.zeros(missing.size, np.int64)])
+        win_arr = np.concatenate([win_arr, missing])
+        nslabs += missing.size
 
-    # re-take entries in final order
-    r, c, v = r[perm], c[perm], v[perm]
-    sort2 = np.lexsort((lane_of, sub_of, slab_of))
+    # final entry order (slab, sublane, lane): entries of one (slab,
+    # sublane) are already contiguous and lane-ordered in the current
+    # (group, sublane, row) order, so the permutation is arithmetic
+    key3 = slab_of * SUBS + sub_of
+    cnt3 = np.bincount(key3, minlength=nslabs * SUBS)
+    off3 = np.concatenate([[0], np.cumsum(cnt3)])[:-1]
+    newpos = off3[key3] + (lane_of - 1)
+    sort2 = np.empty(nz, np.int64)
+    sort2[newpos] = np.arange(nz)
     r, c, v = r[sort2], c[sort2], v[sort2]
     slab_of, sub_of, lane_of = slab_of[sort2], sub_of[sort2], lane_of[sort2]
-
-    base_arr = np.asarray(slab_base, np.int64)
-    win_arr = np.asarray(slab_win, np.int64)
 
     # order slabs by (window, base) so same-window slabs are consecutive
     slab_order = np.lexsort((np.arange(nslabs), base_arr, win_arr))
@@ -244,7 +260,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     slab_of = old2new[slab_of]
     win_arr, base_arr, nslabs = win_new, base_new, n_padded
 
-    val_arr = np.zeros((nslabs, SUBS, LANES), np.float64)
+    val_arr = np.zeros((nslabs, SUBS, LANES), cdt)
     vidx_arr = np.zeros((nslabs, SUBS, LANES), np.int32)
     val_arr[slab_of, sub_of, lane_of] = v
     vidx_arr[slab_of, sub_of, lane_of] = (
@@ -265,7 +281,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     c_tgt = rloc >> 7
     c_j = rloc & (LANES - 1)
 
-    t = _assign_rounds(c_slab, c_j, c_src, c_tgt)
+    t = _assign_rounds(c_slab, c_j, c_src, c_tgt, nslabs)
     keep = t < max_rounds
     rounds_used = int(t[keep].max()) + 1 if keep.any() else 1
     # int8 sublane tiling wants R*8 a multiple of 32 -> R multiple of 4
@@ -273,31 +289,35 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     if rounds < rounds_used:
         keep &= t < rounds
 
-    rend = np.zeros((nslabs, rounds, SUBS, LANES), np.int32)
-    rstart = np.zeros((nslabs, rounds, SUBS, LANES), np.int32)
+    rend = np.zeros((nslabs, rounds, SUBS, LANES), np.int8)
+    rstart = np.zeros((nslabs, rounds, SUBS, LANES), np.int8)
     kslab, kt = c_slab[keep], t[keep]
     ksrc, ktgt, kj = c_src[keep], c_tgt[keep], c_j[keep]
-    rend[kslab, kt, ksrc, kj] = c_end[keep].astype(np.int32)
-    rstart[kslab, kt, ksrc, kj] = c_start[keep].astype(np.int32)
+    rend[kslab, kt, ksrc, kj] = c_end[keep].astype(np.int8)
+    rstart[kslab, kt, ksrc, kj] = c_start[keep].astype(np.int8)
     # default target routing: point every (slab, t, q, j) at a source
-    # sublane with no contributor there (rend == rstart -> zero diff)
-    free = rend == rstart                      # (S, R, 8, 128)
-    first_free = np.argmax(free, axis=2)       # (S, R, 128)
-    rsrc = np.broadcast_to(first_free[:, :, None, :],
-                           (nslabs, rounds, SUBS, LANES)).astype(np.int32)
-    rsrc = np.ascontiguousarray(rsrc)
-    rsrc[kslab, kt, ktgt, kj] = ksrc.astype(np.int32)
+    # sublane with no contributor there (rend == rstart -> zero diff).
+    # Busy sources tracked as an 8-bit mask; first free via a 256-LUT.
+    busybits = np.zeros((nslabs, rounds, LANES), np.uint8)
+    np.bitwise_or.at(busybits, (kslab, kt, kj),
+                     (1 << ksrc).astype(np.uint8))
+    lut = np.zeros(256, np.int8)
+    for mask in range(255):
+        lut[mask] = next(s for s in range(SUBS) if not (mask >> s) & 1)
+    first_free = lut[busybits]                 # (S, R, 128)
+    rsrc = np.ascontiguousarray(np.broadcast_to(
+        first_free[:, :, None, :], (nslabs, rounds, SUBS, LANES)))
+    rsrc[kslab, kt, ktgt, kj] = ksrc.astype(np.int8)
 
     # spilled entries (rare): whole runs whose round exceeded the budget
     if (~keep).any():
-        bad = np.nonzero(~keep)[0]
-        spill_idx = np.concatenate(
-            [np.arange(runs[b], run_end[b] + 1) for b in bad])
-        s_row = r[spill_idx]
-        s_col = c[spill_idx]
-        s_val = v[spill_idx].copy()
-        val_arr[slab_of[spill_idx], sub_of[spill_idx],
-                lane_of[spill_idx]] = 0.0
+        run_of = np.cumsum(newrun) - 1           # entry -> run id
+        spill_mask = ~keep[run_of]
+        s_row = r[spill_mask]
+        s_col = c[spill_mask]
+        s_val = v[spill_mask].copy()
+        val_arr[slab_of[spill_mask], sub_of[spill_mask],
+                lane_of[spill_mask]] = 0.0
         spill = (s_row, s_col, s_val)
     else:
         spill = empty_spill
@@ -309,14 +329,11 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     sbase = (base_arr >> 7).astype(np.int32)
 
     return StreamChunks(
-        val=jnp.asarray(val_arr.astype(cdt)),
+        val=jnp.asarray(val_arr),
         vidx=jnp.asarray(vidx_arr),
-        rend=jnp.asarray(rend.astype(np.int8).reshape(
-            nslabs, rounds * SUBS, LANES)),
-        rstart=jnp.asarray(rstart.astype(np.int8).reshape(
-            nslabs, rounds * SUBS, LANES)),
-        rsrc=jnp.asarray(rsrc.astype(np.int8).reshape(
-            nslabs, rounds * SUBS, LANES)),
+        rend=jnp.asarray(rend.reshape(nslabs, rounds * SUBS, LANES)),
+        rstart=jnp.asarray(rstart.reshape(nslabs, rounds * SUBS, LANES)),
+        rsrc=jnp.asarray(rsrc.reshape(nslabs, rounds * SUBS, LANES)),
         sbase=jnp.asarray(sbase), cw=jnp.asarray(cw),
         cfirst=jnp.asarray(cfirst), rounds=rounds,
         s_batch=s_batch), spill
