@@ -252,11 +252,24 @@ def tile_create(csr: CSRMatrix,
     collen = np.where(tile_colidx == tilen - 1, n - (tilen - 1) * b,
                       b).astype(np.int64)
 
-    # Per-tile exclusive row scan: start offset of each intra-tile row
-    row_start = np.zeros((tilenum, b), dtype=np.int64)
-    np.cumsum(row_hist[:, :-1], axis=1, out=row_start[:, 1:])
-    # Per-nnz: slot within its row (ELL slot index)
-    slot = pos_in_tile - row_start[tile_of_nnz, ri_s]
+    # Per-tile exclusive row scan: start offset of each intra-tile row.
+    # Restricted to the formats that consume it (CSR/ELL/HYB) — for
+    # COO-dominated matrices the full (tilenum, b) table would be the
+    # single biggest conversion cost.
+    need_rs = ((fmt == FMT_CSR) | (fmt == FMT_ELL) | (fmt == FMT_HYB)
+               | (fmt == FMT_DNSCOL))
+    rs_tid = np.nonzero(need_rs)[0]
+    rs_local = np.full(tilenum, -1, dtype=np.int64)
+    rs_local[rs_tid] = np.arange(rs_tid.shape[0])
+    row_start = np.zeros((rs_tid.shape[0], b), dtype=np.int64)
+    np.cumsum(row_hist[rs_tid, :-1].astype(np.int64), axis=1,
+              out=row_start[:, 1:])
+    # Per-nnz: slot within its row (ELL slot index), same formats only
+    slot = np.zeros(nnz, dtype=np.int64)
+    sel_rs = np.nonzero(need_rs[tile_of_nnz])[0]
+    slot[sel_rs] = (pos_in_tile[sel_rs]
+                    - row_start[rs_local[tile_of_nnz[sel_rs]],
+                                ri_s[sel_rs]])
 
     fmt_of_nnz = fmt[tile_of_nnz]
     vdt = np.dtype(cfg.value_dtype)
@@ -273,7 +286,7 @@ def tile_create(csr: CSRMatrix,
     csr_bucket = CSRBucket(
         tile_ids=tid,
         nnz_ptr=_exclusive_scan(counts[tid]),
-        rowptr=row_start[tid].astype(np.uint8),
+        rowptr=row_start[rs_local[tid]].astype(np.uint8),
         val=val_s[sel].astype(vdt),
         col=ci_s[sel],
         row=ri_s[sel],

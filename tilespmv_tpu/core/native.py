@@ -119,8 +119,6 @@ def analyze(m: int, n: int, indptr: np.ndarray, indices: np.ndarray,
             out["hyb_width"].ctypes.data, out["hyb_coo"].ctypes.data,
             out["val_s"].ctypes.data, out["ri_s"].ctypes.data,
             out["ci_s"].ctypes.data)
-        out["row_hist"] = out["row_hist"].astype(np.int32)
-        out["col_hist"] = out["col_hist"].astype(np.int32)
         return out
     finally:
         lib.tc_release(h)
