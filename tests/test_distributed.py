@@ -51,3 +51,33 @@ def test_distributed_small_mesh():
     np.testing.assert_allclose(np.asarray(op(x)),
                                csr.to_dense().astype(np.float32) @ x,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_halo_exchange_banded(mesh8=None):
+    """Selective x exchange (SURVEY §2.3): banded matrices need only
+    neighbor blocks, so halo traffic is far below an all-gather."""
+    from tilespmv_tpu.parallel import DistributedSpMV, make_mesh
+    mesh = make_mesh(8)
+    csr = generate.get_matrix("banded_medium")
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    golden = csr.to_dense().astype(np.float64) @ x
+    op = DistributedSpMV(csr, mesh=mesh, x_mode="halo")
+    y = np.asarray(op(x))
+    err = np.max(np.abs(y - golden) / (1 + np.abs(golden)))
+    assert err < 1e-4
+    assert op.halo is not None
+    assert op.halo.traffic_ratio < 0.5  # near-diagonal: tiny packets
+
+
+def test_halo_auto_fallback():
+    """auto picks all-gather when packets would not be smaller."""
+    from tilespmv_tpu.parallel import DistributedSpMV, make_mesh
+    mesh = make_mesh(8)
+    csr = generate.mixed_structure(16 * 8 * 16, 16 * 8 * 16, seed=1)
+    op = DistributedSpMV(csr, mesh=mesh, x_mode="auto")
+    assert op.x_mode == "allgather"
+    op2 = DistributedSpMV(csr, mesh=mesh, x_mode="halo")
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    golden = csr.to_dense().astype(np.float64) @ x
+    y = np.asarray(op2(x))
+    assert np.max(np.abs(y - golden) / (1 + np.abs(golden))) < 1e-4

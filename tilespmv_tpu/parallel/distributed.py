@@ -300,6 +300,76 @@ def _unify_lane_plans(plans: list) -> list:
     return out
 
 
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Selective x-exchange plan (SURVEY.md §2.3): which 128-value x
+    blocks each device must receive from each peer, derived from the
+    per-partition set of occupied columns.
+
+    Each shard's matrix is *column-renumbered* into a compact local x
+    layout — [its own x2d rows ++ one `max_pk`-row packet segment per
+    peer] — so the runtime is a sender-side row gather + one all-to-all
+    + a concat: spans stay contiguous, no scatter."""
+    rx: int              # own x2d rows per device
+    max_pk: int          # packet rows per (src, dst) pair (padded)
+    n_x_pad: int         # padded global x length (ndev * rx * 128)
+    traffic_ratio: float  # halo bytes / all-gather bytes (per device)
+    send_idx: np.ndarray  # (ndev, ndev*max_pk) local x2d rows to send
+    translated_blocks: list  # per-shard CSRMatrix in compact column space
+
+
+def _plan_halo(blocks: list, n: int, ndev: int) -> HaloPlan:
+    XB = 128
+    rx = max(1, -(-n // (ndev * XB)))
+    n_x_pad = ndev * rx * XB
+    # needed foreign blocks per (dst, src)
+    need = []
+    for d, blk in enumerate(blocks):
+        gb = np.unique(blk.indices.astype(np.int64) >> 7)
+        need.append(gb)
+    per_pair = [[need[d][(need[d] // rx) == e] for e in range(ndev)]
+                for d in range(ndev)]
+    max_pk = max((pp.shape[0] for d in range(ndev)
+                  for e, pp in enumerate(per_pair[d]) if e != d),
+                 default=0)
+    max_pk = max(max_pk, 1)
+    # sender side: device e sends to d the blocks per_pair[d][e]
+    send_idx = np.zeros((ndev, ndev * max_pk), np.int32)
+    for e in range(ndev):
+        for d in range(ndev):
+            if d == e:
+                continue
+            loc = (per_pair[d][e] - e * rx).astype(np.int32)
+            send_idx[e, d * max_pk: d * max_pk + loc.shape[0]] = loc
+    # compact column map per shard: own rows first, then peer segments
+    translated = []
+    for d, blk in enumerate(blocks):
+        cmap = np.full(ndev * rx, -1, np.int64)
+        own = np.arange(d * rx, (d + 1) * rx)
+        cmap[own] = np.arange(rx)
+        for e in range(ndev):
+            if e == d:
+                continue
+            gb = per_pair[d][e]
+            cmap[gb] = rx + e * max_pk + np.arange(gb.shape[0])
+        cols = blk.indices.astype(np.int64)
+        newcols = cmap[cols >> 7] * XB + (cols & (XB - 1))
+        # re-sort each row's columns (canonical CSR ordering; the
+        # renumbering interleaves owner segments)
+        rowid = np.repeat(np.arange(blk.m), np.diff(blk.indptr))
+        order = np.lexsort((newcols, rowid))
+        n_c = (rx + ndev * max_pk) * XB
+        translated.append(CSRMatrix(
+            (blk.m, n_c), blk.indptr.copy(),
+            newcols[order].astype(np.int64), blk.data[order]))
+    ag_bytes = (ndev - 1) * rx
+    halo_bytes = ndev * max_pk
+    ratio = halo_bytes / max(ag_bytes, 1)
+    return HaloPlan(rx=rx, max_pk=max_pk, n_x_pad=n_x_pad,
+                    traffic_ratio=ratio, send_idx=send_idx,
+                    translated_blocks=translated)
+
+
 class DistributedSpMV:
     """Row-partitioned SpMV over a 1-D device mesh.
 
@@ -316,7 +386,7 @@ class DistributedSpMV:
                  compute_dtype=jnp.float32,
                  backend: str = "auto",
                  x_mode: str = "allgather"):
-        if x_mode not in ("allgather", "replicated"):
+        if x_mode not in ("allgather", "replicated", "halo", "auto"):
             raise ValueError(f"unknown x_mode {x_mode!r}")
         if backend == "auto":
             backend = "pallas" if config.tile_size == 16 else "xla"
@@ -331,15 +401,34 @@ class DistributedSpMV:
         self.rows_per_device = rows_per
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.backend = backend
-        self.x_mode = x_mode
         # x padded to a multiple of ndev for even sharding
         self.n_pad = -(-n // ndev) * ndev
 
+        blocks = [_row_block(csr, d * rows_per, (d + 1) * rows_per,
+                             rows_per) for d in range(ndev)]
+
+        if x_mode in ("halo", "auto"):
+            halo = _plan_halo(blocks, n, ndev)
+            if x_mode == "auto":
+                # halo pays when the exchanged packets are meaningfully
+                # smaller than an all-gather of the full x
+                x_mode = ("halo" if ndev > 1 and halo.traffic_ratio < 0.75
+                          else "allgather")
+            elif ndev == 1:
+                x_mode = "replicated"
+        if x_mode == "halo":
+            blocks = halo.translated_blocks
+            self.halo = halo
+            self._send_idx = jax.device_put(
+                jnp.asarray(halo.send_idx),
+                NamedSharding(self.mesh, P(ROW_AXIS)))
+        else:
+            self.halo = None
+        self.x_mode = x_mode
+
         self.tile_matrices = []
         plans = []
-        for d in range(ndev):
-            block = _row_block(csr, d * rows_per, (d + 1) * rows_per,
-                               rows_per)
+        for block in blocks:
             tm = tile_create(block, config)
             self.tile_matrices.append(tm)
         if backend == "pallas":
@@ -369,22 +458,43 @@ class DistributedSpMV:
         backend_ = backend
         x_mode_ = x_mode
         n_ = n
+        halo_ = self.halo
 
-        def local_step(plan_stack: SpMVPlan, x_in: jax.Array) -> jax.Array:
-            local = jax.tree.map(lambda a: a[0], plan_stack)
-            if x_mode_ == "allgather":
-                x_full = jax.lax.all_gather(x_in, ROW_AXIS, tiled=True)
-            else:
-                x_full = x_in
-            return spmv(local, x_full[:n_], backend=backend_)
+        if x_mode == "halo":
+            def local_step(plan_stack, x_in, sidx):
+                local = jax.tree.map(lambda a: a[0], plan_stack)
+                # selective exchange: gather the blocks each peer needs,
+                # one all-to-all, concat into the compact local layout
+                # (the shard's plan was built against this layout)
+                x2 = x_in.reshape(halo_.rx, 128)
+                send = jnp.take(x2, sidx[0], axis=0)  # (ndev*max_pk, 128)
+                recv = jax.lax.all_to_all(send, ROW_AXIS,
+                                          split_axis=0, concat_axis=0,
+                                          tiled=True)
+                x_c = jnp.concatenate([x2, recv], axis=0).reshape(-1)
+                return spmv(local, x_c[: local.n], backend=backend_)
 
-        in_x_spec = P(ROW_AXIS) if x_mode == "allgather" else P()
-        # check_vma=False: pallas_call outputs carry no varying-mesh-axis
-        # annotation yet
-        self._step = jax.jit(jax.shard_map(
-            local_step, mesh=self.mesh,
-            in_specs=(P(ROW_AXIS), in_x_spec),
-            out_specs=P(ROW_AXIS), check_vma=False))
+            self._step = jax.jit(jax.shard_map(
+                local_step, mesh=self.mesh,
+                in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
+                out_specs=P(ROW_AXIS), check_vma=False))
+        else:
+            def local_step(plan_stack: SpMVPlan,
+                           x_in: jax.Array) -> jax.Array:
+                local = jax.tree.map(lambda a: a[0], plan_stack)
+                if x_mode_ == "allgather":
+                    x_full = jax.lax.all_gather(x_in, ROW_AXIS, tiled=True)
+                else:
+                    x_full = x_in
+                return spmv(local, x_full[:n_], backend=backend_)
+
+            in_x_spec = P(ROW_AXIS) if x_mode == "allgather" else P()
+            # check_vma=False: pallas_call outputs carry no
+            # varying-mesh-axis annotation yet
+            self._step = jax.jit(jax.shard_map(
+                local_step, mesh=self.mesh,
+                in_specs=(P(ROW_AXIS), in_x_spec),
+                out_specs=P(ROW_AXIS), check_vma=False))
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -394,6 +504,11 @@ class DistributedSpMV:
         x = jnp.asarray(x, dtype=self.compute_dtype)
         if x.shape != (self.n,):
             raise ValueError(f"x has shape {x.shape}, expected ({self.n},)")
+        if self.x_mode == "halo":
+            x = jnp.pad(x, (0, self.halo.n_x_pad - self.n))
+            x = jax.device_put(x, NamedSharding(self.mesh, P(ROW_AXIS)))
+            y = self._step(self.plan_sharded, x, self._send_idx)
+            return y[: self.m]
         if self.n_pad != self.n:
             x = jnp.pad(x, (0, self.n_pad - self.n))
         if self.x_mode == "allgather":
