@@ -1,0 +1,55 @@
+"""Compute-dtype coverage: f32 (default), f64 (reference parity,
+MAT_VAL_TYPE double, common.h:12), bf16 (TPU-native fast mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tilespmv_tpu.io import generate
+from tilespmv_tpu.ops.spmv import TileSpMV
+
+
+def _golden(csr, x):
+    return csr.to_dense().astype(np.float64) @ x.astype(np.float64)
+
+
+def test_f64_routes_to_xla_and_is_exact():
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled in this session")
+    csr = generate.mixed_structure(512, 512, seed=7)
+    op = TileSpMV(csr, compute_dtype=jnp.float64)
+    assert op.backend == "xla"
+    x = np.random.default_rng(0).standard_normal(csr.n)
+    y = np.asarray(op(x))
+    ref = _golden(csr, x)
+    assert np.max(np.abs(y - ref) / (1 + np.abs(ref))) < 1e-12
+
+
+def test_f64_requires_x64_flag():
+    if jax.config.jax_enable_x64:
+        pytest.skip("x64 already on")
+    csr = generate.mixed_structure(256, 256, seed=7)
+    with pytest.raises(ValueError, match="x64"):
+        TileSpMV(csr, compute_dtype=jnp.float64)
+
+
+def test_bf16_pallas_path():
+    csr = generate.mixed_structure(512, 512, seed=7)
+    op = TileSpMV(csr, compute_dtype=jnp.bfloat16)
+    assert op.backend == "pallas"
+    x = np.random.default_rng(0).standard_normal(csr.n)
+    y = np.asarray(op(x).astype(jnp.float32))
+    ref = _golden(csr, x)
+    rel = np.max(np.abs(y - ref) / (1 + np.abs(ref)))
+    assert rel < 0.05  # bf16 mantissa: ~0.4% typical, 5% safe bound
+
+
+def test_f32_precision_is_better_than_bf16():
+    # guards the hi+lo split: a plain bf16-pass matmul would make f32
+    # no better than bf16
+    csr = generate.mixed_structure(512, 512, seed=7)
+    x = np.random.default_rng(0).standard_normal(csr.n)
+    ref = _golden(csr, x)
+    y32 = np.asarray(TileSpMV(csr, compute_dtype=jnp.float32)(x))
+    rel32 = np.max(np.abs(y32 - ref) / (1 + np.abs(ref)))
+    assert rel32 < 1e-4

@@ -148,7 +148,7 @@ def _sparse_kernel(cbase, cw, cfirst,
     _aggregate(i, cfirst, yc, meta_ref, out_ref, t, acc_dtype, interpret)
 
 
-def _grid_spec(nchunks, tensor_specs):
+def _grid_spec(nchunks, tensor_specs, x_dtype=jnp.float32):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nchunks,),
@@ -158,7 +158,7 @@ def _grid_spec(nchunks, tensor_specs):
             lambda i, cbase, cw, cfirst: (0, cw[i]),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((SPAN_TC, _B), jnp.float32),
+            pltpu.VMEM((SPAN_TC, _B), x_dtype),
         ],
     )
 
@@ -186,7 +186,7 @@ def dense_class_call(d: DenseChunks, x2d: jax.Array, n_windows: int,
     ]
     return pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(nchunks, tensor_specs),
+        grid_spec=_grid_spec(nchunks, tensor_specs, x2d.dtype),
         out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                        acc_dtype),
         interpret=interpret,
@@ -206,7 +206,7 @@ def sparse_class_call(s: SparseChunks, x2d: jax.Array, n_windows: int,
     ]
     return pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(nchunks, tensor_specs),
+        grid_spec=_grid_spec(nchunks, tensor_specs, x2d.dtype),
         out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                        acc_dtype),
         interpret=interpret,

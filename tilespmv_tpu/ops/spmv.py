@@ -81,10 +81,19 @@ class TileSpMV:
             a = tile_create(a, config)
         self.tile_matrix: TileMatrix = a
         if backend == "auto":
-            # Pallas engines need tile_size 16; everywhere else they beat
-            # the XLA engines by 1-3 orders of magnitude (XLA gathers and
-            # scatters lower to element-serial loops on TPU)
-            backend = "pallas" if config.tile_size == 16 else "xla"
+            # Pallas engines need tile_size 16 and f32/bf16 vectors (f64
+            # runs through the XLA engines — the reference's MAT_VAL_TYPE
+            # double, common.h:12; on TPU XLA emulates f64). Everywhere
+            # else Pallas beats the XLA engines by 1-3 orders of magnitude
+            # (XLA gathers/scatters lower to element-serial loops on TPU).
+            is_f64 = jnp.dtype(compute_dtype) == jnp.dtype("float64")
+            backend = ("pallas" if config.tile_size == 16 and not is_f64
+                       else "xla")
+        if (jnp.dtype(compute_dtype).itemsize == 8
+                and not jax.config.jax_enable_x64):
+            raise ValueError(
+                "compute_dtype=float64 requires jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))")
         self.backend = backend
         if backend == "pallas":
             from .pallas.lane_plan import build_lane_plan
