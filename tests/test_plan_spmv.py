@@ -119,3 +119,18 @@ def test_bf16_tolerance():
     # 1% relative gate, the reference's own tolerance (main.cu:186-197)
     err = np.abs(y - y_golden) > 0.01 * np.abs(y_golden) + 1e-3
     assert not err.any()
+
+
+def test_column_partitioned_wide_matrix():
+    """Matrices wider than the VMEM x budget split into column plans
+    whose partial y's sum (exercised with a tiny forced limit)."""
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    csr = generate.mixed_structure(256, 1024, seed=9)
+    op = TileSpMV(csr, backend="pallas", max_cols_per_plan=256)
+    assert op._col_parts is not None and len(op._col_parts) == 4
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    y = np.asarray(op(x))
+    ref = csr.to_dense().astype(np.float64) @ x
+    assert np.max(np.abs(y - ref) / (1 + np.abs(ref))) < 1e-4
+    assert op.shape == (256, 1024)
+    assert op.flops() == 2 * csr.nnz

@@ -15,7 +15,7 @@ This mirrors the reference's split between the CPU engine
 from __future__ import annotations
 
 import functools
-from typing import Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -73,10 +73,22 @@ class TileSpMV:
     >>> y = op(x)                     # y = A @ x on the default device
     """
 
+    # Pallas engines keep the whole padded x VMEM-resident (~16 MB/core
+    # on v5e); wider matrices are column-partitioned into independent
+    # plans whose partial y's are summed.
+    MAX_COLS_PER_PLAN = 1 << 21
+
     def __init__(self, a: Union[CSRMatrix, TileMatrix],
                  config: TileConfig = DEFAULT_CONFIG,
                  compute_dtype=jnp.float32,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 max_cols_per_plan: Optional[int] = None):
+        self._col_parts = None
+        limit = max_cols_per_plan or self.MAX_COLS_PER_PLAN
+        if isinstance(a, CSRMatrix) and a.n > limit:
+            self._init_col_partitioned(a, config, compute_dtype, backend,
+                                       limit)
+            return
         if isinstance(a, CSRMatrix):
             a = tile_create(a, config)
         self.tile_matrix: TileMatrix = a
@@ -102,19 +114,63 @@ class TileSpMV:
             self.plan = build_plan(a, compute_dtype=compute_dtype)
         self.compute_dtype = jnp.dtype(compute_dtype)
 
+    def _init_col_partitioned(self, csr: CSRMatrix, config, compute_dtype,
+                              backend, limit):
+        b = config.tile_size
+        width = (limit // b) * b
+        starts = list(range(0, csr.n, width))
+        parts = []
+        for c0 in starts:
+            c1 = min(c0 + width, csr.n)
+            sel = (csr.indices >= c0) & (csr.indices < c1)
+            rows = np.repeat(np.arange(csr.m), np.diff(csr.indptr))[sel]
+            sub = CSRMatrix(
+                (csr.m, c1 - c0),
+                np.concatenate(
+                    [[0], np.cumsum(np.bincount(rows, minlength=csr.m))]
+                ).astype(np.int64),
+                (csr.indices[sel] - c0).astype(csr.indices.dtype),
+                csr.data[sel])
+            parts.append(TileSpMV(sub, config=config,
+                                  compute_dtype=compute_dtype,
+                                  backend=backend))
+        self._col_parts = parts
+        self._col_starts = starts
+        self._col_width = width
+        self._m, self._n = csr.shape
+        self.backend = parts[0].backend
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.tile_matrix = None
+        self.plan = None
+
     @property
     def shape(self) -> tuple[int, int]:
+        if self._col_parts is not None:
+            return (self._m, self._n)
         return (self.plan.m, self.plan.n)
 
     def __call__(self, x) -> jax.Array:
         x = jnp.asarray(x, dtype=self.compute_dtype)
+        if self._col_parts is not None:
+            if x.shape != (self._n,):
+                raise ValueError(
+                    f"x has shape {x.shape}, expected ({self._n},)")
+            y = None
+            for c0, part in zip(self._col_starts, self._col_parts):
+                yk = part(x[c0: c0 + part.plan.n])
+                y = yk if y is None else y + yk
+            return y
         if x.shape != (self.plan.n,):
             raise ValueError(
                 f"x has shape {x.shape}, expected ({self.plan.n},)")
         return spmv(self.plan, x, backend=self.backend)
 
     def flops(self) -> int:
+        if self._col_parts is not None:
+            return sum(p.flops() for p in self._col_parts)
         return self.plan.flops()
 
     def bytes_accessed(self) -> int:
+        if self._col_parts is not None:
+            return sum(p.bytes_accessed() for p in self._col_parts)
         return self.plan.bytes_accessed()
