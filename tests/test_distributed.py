@@ -81,3 +81,18 @@ def test_halo_auto_fallback():
     golden = csr.to_dense().astype(np.float64) @ x
     y = np.asarray(op2(x))
     assert np.max(np.abs(y - golden) / (1 + np.abs(golden))) < 1e-4
+
+
+@pytest.mark.parametrize("grid", [(2, 4), (4, 2), (1, 8)])
+def test_2d_block_partition(grid):
+    """2-D block partition: x sharded P('col') with zero exchange, y
+    reduced with one psum over the column axis (SURVEY §5)."""
+    from tilespmv_tpu.parallel import DistributedSpMV2D, make_mesh2d
+    mesh = make_mesh2d(*grid)
+    csr = generate.mixed_structure(1024, 2048, seed=5)
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    golden = csr.to_dense().astype(np.float64) @ x
+    op = DistributedSpMV2D(csr, mesh=mesh)
+    y = np.asarray(op(x))
+    err = np.max(np.abs(y - golden) / (1 + np.abs(golden)))
+    assert err < 1e-4

@@ -15,6 +15,7 @@ from jax.sharding import Mesh
 
 
 ROW_AXIS = "row"
+COL_AXIS = "col"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -26,4 +27,36 @@ def make_mesh(n_devices: Optional[int] = None,
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     if len(axis_names) == 1:
         return Mesh(np.array(devs[:n]), axis_names)
-    raise NotImplementedError("2-D meshes arrive with block partitioning")
+    raise ValueError("make_mesh is 1-D; use make_mesh2d")
+
+
+def make_mesh2d(rows: int, cols: int,
+                axis_names: Sequence[str] = (ROW_AXIS, COL_AXIS)) -> Mesh:
+    """2-D (rows x cols) mesh for block-partitioned SpMV."""
+    devs = jax.devices()
+    if rows * cols > len(devs):
+        raise ValueError(
+            f"requested {rows}x{cols} devices, have {len(devs)}")
+    grid = np.array(devs[: rows * cols]).reshape(rows, cols)
+    return Mesh(grid, axis_names)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Bring up the multi-host JAX runtime (DCN) before building meshes.
+
+    Thin wrapper over `jax.distributed.initialize` (args default to the
+    TPU pod metadata on Cloud TPU). After this, `jax.devices()` spans the
+    pod slice and `make_mesh`/`make_mesh2d` lay blocks across hosts; the
+    same SPMD programs run unchanged — collectives ride ICI within a host
+    and DCN across hosts (BASELINE.md config 5).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
