@@ -163,27 +163,34 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     v = val[order0]
     win = win[order0]
 
-    # --- cut (window, 8192-col span) group boundaries (cheap sequential
-    # scan; all heavy work is done globally afterwards) ---
-    g_starts: list[int] = []
-    g_bases: list[int] = []
-    g_wins: list[int] = []
+    # --- cut (window, 8192-col span) group boundaries. Greedy cutting is
+    # a per-window chain, but all windows advance together: each sweep
+    # round opens one group per still-active window (vectorized
+    # searchsorted over the globally (window, col)-sorted stream) ---
     uwin, wstart = np.unique(win, return_index=True)
     wend = np.append(wstart[1:], nz)
-    for wi in range(uwin.shape[0]):
-        s, e = int(wstart[wi]), int(wend[wi])
-        cols = c[s:e]
-        i = s
-        while i < e:
-            base = (int(c[i]) >> 7) << 7
-            g_starts.append(i)
-            g_bases.append(base)
-            g_wins.append(int(uwin[wi]))
-            i = s + int(np.searchsorted(cols, base + SPAN_ROWS * LANES))
-    ngroups = len(g_starts)
-    gsz = np.diff(np.append(np.asarray(g_starts, np.int64), nz))
-    gbase = np.asarray(g_bases, np.int64)
-    gwin = np.asarray(g_wins, np.int64)
+    # c is sorted within a window only; search the composite key instead
+    key_wc = (win << 33) | c
+    frontier = wstart.copy()
+    starts_parts, bases_parts, wins_parts = [], [], []
+    active = frontier < wend
+    while active.any():
+        f = frontier[active]
+        bases = (c[f] >> 7) << 7
+        starts_parts.append(f)
+        bases_parts.append(bases)
+        wins_parts.append(uwin[active])
+        nxt = np.searchsorted(
+            key_wc, (uwin[active] << 33) | (bases + SPAN_ROWS * LANES))
+        frontier[active] = np.minimum(nxt, wend[active])
+        active = frontier < wend
+    g_starts = np.concatenate(starts_parts)
+    gbase = np.concatenate(bases_parts)
+    gwin = np.concatenate(wins_parts)
+    order_g = np.argsort(g_starts, kind="stable")
+    g_starts, gbase, gwin = g_starts[order_g], gbase[order_g], gwin[order_g]
+    ngroups = g_starts.shape[0]
+    gsz = np.diff(np.append(g_starts, nz))
 
     # bucket entries by 1024-col sublane window, sort by row, split at CAP
     # per sublane — one global lexsort over (group, sublane, row)
