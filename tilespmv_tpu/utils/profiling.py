@@ -17,26 +17,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timed(fn, reps: int = 3, k1: int = 25, k2: int = 425) -> float:
-    """Difference-method timing of a nullary on-device fn (see
+def _timed(fn, *args, reps: int = 3, k1: int = 25, k2: int = 425) -> float:
+    """Difference-method timing of an on-device fn(*args) (see
     bench/harness.py for why: the tunneled backend only synchronizes on a
-    host transfer). Never returns a negative (jitter on tiny kernels)."""
+    host transfer). Operands are jit *arguments* — closing over them would
+    embed them as program constants (and blow up the compile payload).
+    Never returns a negative (jitter on tiny kernels)."""
     from jax import lax
 
-    def looped(iters):
-        def body(i, acc):
-            out = fn()
-            return acc + jnp.sum(out) * jnp.asarray(1e-30, out.dtype)
-        return lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+    def looped(iters, *a):
+        # perturb the last operand (x) with a result-dependent epsilon so
+        # XLA cannot hoist the call out of the loop
+        def body(i, carry):
+            eps, acc = carry
+            out = fn(*a[:-1], a[-1] + eps.astype(a[-1].dtype))
+            s = jnp.sum(out).astype(jnp.float32)
+            return eps + s * 1e-30, acc + s
+        _, acc = lax.fori_loop(
+            0, iters, body,
+            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)))
+        return acc
 
     f1 = jax.jit(functools.partial(looped, k1))
     f2 = jax.jit(functools.partial(looped, k2))
     for f in (f1, f2):
-        float(f())
+        float(f(*args))
     ts = []
     for _ in range(reps):
-        t0 = time.perf_counter(); float(f1()); ta = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(f2()); tb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f1(*args))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(f2(*args))
+        tb = time.perf_counter() - t0
         ts.append((tb - ta) / (k2 - k1))
     return max(float(np.median(ts)), 1e-9)
 
@@ -67,15 +80,19 @@ def profile_engines(op, x=None) -> dict[str, dict]:
     out = {}
     if plan.dense is not None:
         d = plan.dense
-        dt = _timed(lambda: dense_class_call(d, x2d, plan.n_windows,
-                                             interpret=interp))
+        fn_d = functools.partial(dense_class_call,
+                                 n_windows=plan.n_windows,
+                                 interpret=interp)
+        dt = _timed(fn_d, d, x2d)
         b = nbytes(d.val, d.meta)
         out["dense"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
                         "chunks": int(d.val.shape[0]),
                         "t_lanes": d.t_lanes}
     for i, s in enumerate(plan.sparses):
-        dt = _timed(lambda s=s: sparse_class_call(s, x2d, plan.n_windows,
-                                                  interpret=interp))
+        fn_s = functools.partial(sparse_class_call,
+                                 n_windows=plan.n_windows,
+                                 interpret=interp)
+        dt = _timed(fn_s, s, x2d)
         b = nbytes(s.val, s.meta)
         out[f"sparse_w{s.width}"] = {
             "us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
@@ -84,9 +101,10 @@ def profile_engines(op, x=None) -> dict[str, dict]:
         st = plan.stream
         x128 = (jnp.zeros(plan.x_padded_len128, xj.dtype)
                 .at[: plan.n].set(xj).reshape(-1, 128))
-        dt = _timed(lambda: stream_class_call(st, x128,
-                                              plan.n_stream_windows,
-                                              interpret=interp))
+        fn_st = functools.partial(
+            stream_class_call, n_windows=plan.n_stream_windows,
+            interpret=interp)
+        dt = _timed(fn_st, st, x128)
         b = nbytes(st.val, st.vidx, st.rend, st.rstart, st.rsrc)
         out["stream"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
                          "slabs": int(st.nslabs), "rounds": st.rounds}
@@ -98,7 +116,7 @@ def profile_engines(op, x=None) -> dict[str, dict]:
             return jax.ops.segment_sum(contrib, r.row,
                                        num_segments=plan.y_padded_len,
                                        indices_are_sorted=True)
-        dt = _timed(res_fn)
+        dt = _timed(res_fn)  # residual arrays are small; closure is fine
         b = nbytes(r.val, r.row, r.col)
         out["residual"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9}
     return out
