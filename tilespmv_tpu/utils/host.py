@@ -38,3 +38,10 @@ def csr_transpose(csr: CSRMatrix) -> CSRMatrix:
     indptr = exclusive_scan(np.bincount(new_rows, minlength=n)[:n])
     return CSRMatrix((n, m), indptr, rows[order].astype(np.int32),
                      csr.data[order])
+
+
+def sort_key_val(keys: np.ndarray, vals: np.ndarray):
+    """Sort (key, val) pairs by key (reference quick_sort_key_val_pair,
+    utils.h:128 — vectorized instead of recursive)."""
+    order = np.argsort(keys, kind="stable")
+    return keys[order], vals[order]
