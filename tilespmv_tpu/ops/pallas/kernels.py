@@ -41,6 +41,17 @@ _B = 16  # tile edge; kernels are specialized to 16
 _HIPREC = jax.lax.Precision.HIGHEST
 
 
+def _tree_sum(parts):
+    while len(parts) > 1:
+        nxt = [parts[k] + parts[k + 1] for k in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
+
+
 def _split_dot(a, oh, acc_dtype):
     """a @ oh with `oh` an exact 0/1 one-hot. The MXU multiplies in bf16,
     so split `a` into an exact bf16 hi+lo pair and accumulate both passes
@@ -58,13 +69,14 @@ def _split_dot(a, oh, acc_dtype):
             + jax.lax.dot(a_lo, ohb, preferred_element_type=acc_dtype))
 
 
-def _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, t: int, acc_dtype,
+def _gather_xg(ci, cbase, x2d_ref, meta_ref, xs_scr, b, t: int, acc_dtype,
                interpret: bool = False):
-    """Stage the chunk's x span and build xg (16, T) via a one-hot MXU
-    matmul."""
-    xs_scr[...] = x2d_ref[pl.ds(cbase[i], SPAN_TC), :]      # (SPAN_TC, 16)
-    xst = xs_scr[...].T.astype(acc_dtype)                   # (16, SPAN_TC)
-    loc = meta_ref[0, META_XLOC]                            # (T,)
+    """Stage chunk `ci`'s x span and build xg (16, T) via a one-hot MXU
+    matmul (`b` = slot within the step's batch)."""
+    xs_scr[b * SPAN_TC:(b + 1) * SPAN_TC, :] = (
+        x2d_ref[pl.ds(cbase[ci], SPAN_TC), :])              # (SPAN_TC, 16)
+    xst = xs_scr[b * SPAN_TC:(b + 1) * SPAN_TC, :].T.astype(acc_dtype)
+    loc = meta_ref[b, META_XLOC]                            # (T,)
     if interpret:
         # interpret-mode dots emulate the MXU with a downcast accumulator;
         # use an exact XLA gather instead
@@ -77,20 +89,21 @@ def _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, t: int, acc_dtype,
     return _split_dot(xst, oh, acc_dtype)                   # (16, T)
 
 
-def _aggregate(i, cfirst, yc, meta_ref, out_ref, t: int, acc_dtype,
-               interpret: bool = False):
-    """Accumulate the chunk result into its row-window output block."""
-    lr = meta_ref[0, META_LROW]  # (T,)
+def _window_block(yc, meta_ref, b, t: int, acc_dtype,
+                  interpret: bool = False):
+    """Route a chunk result to its (16, ROW_WINDOW) output block."""
+    lr = meta_ref[b, META_LROW]  # (T,)
     if interpret:
-        yblk = jnp.zeros((yc.shape[0], ROW_WINDOW), acc_dtype).at[:, lr].add(
+        return jnp.zeros((yc.shape[0], ROW_WINDOW), acc_dtype).at[:, lr].add(
             yc)
-    else:
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (t, ROW_WINDOW), 1)
-        ohr = jnp.where(lr[:, None] == iota_r,
-                        jnp.asarray(1.0, jnp.float32),
-                        jnp.asarray(0.0, jnp.float32))
-        yblk = _split_dot(yc, ohr, acc_dtype)  # (16, RW)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (t, ROW_WINDOW), 1)
+    ohr = jnp.where(lr[:, None] == iota_r,
+                    jnp.asarray(1.0, jnp.float32),
+                    jnp.asarray(0.0, jnp.float32))
+    return _split_dot(yc, ohr, acc_dtype)  # (16, RW)
 
+
+def _write_out(i, cfirst, yblk, out_ref):
     @pl.when(cfirst[i] == 1)
     def _():
         out_ref[...] = yblk
@@ -104,61 +117,72 @@ def _dense_kernel(cbase, cw, cfirst,               # scalar prefetch
                   x2d_ref, val_ref, meta_ref,      # inputs
                   out_ref,                         # output
                   xs_scr,                          # scratch
-                  *, t: int, acc_dtype, interpret: bool = False):
+                  *, t: int, c_batch: int, acc_dtype,
+                  interpret: bool = False):
     i = pl.program_id(0)
-    xg = _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, t, acc_dtype,
-                    interpret)
-    # val is j-major: val[0, j] is the contiguous (16_i, T) slab of the
-    # tiles' j-th columns
-    yc = functools.reduce(
-        lambda a, j: a + (val_ref[0, j].astype(acc_dtype)
-                          * xg[j, :][None, :]),
-        range(_B), jnp.zeros((_B, t), acc_dtype))
-    _aggregate(i, cfirst, yc, meta_ref, out_ref, t, acc_dtype, interpret)
+    blks = []
+    for b in range(c_batch):
+        xg = _gather_xg(i * c_batch + b, cbase, x2d_ref, meta_ref, xs_scr,
+                        b, t, acc_dtype, interpret)
+        # val is j-major: val[b, j] is the contiguous (16_i, T) slab of
+        # the tiles' j-th columns
+        yc = functools.reduce(
+            lambda a, j: a + (val_ref[b, j].astype(acc_dtype)
+                              * xg[j, :][None, :]),
+            range(_B), jnp.zeros((_B, t), acc_dtype))
+        blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
+                                  interpret))
+    _write_out(i, cfirst, _tree_sum(blks), out_ref)
 
 
 def _sparse_kernel(cbase, cw, cfirst,
                    x2d_ref, val_ref, meta_ref,
                    out_ref, xs_scr,
-                   *, width: int, t: int, acc_dtype,
+                   *, width: int, t: int, c_batch: int, acc_dtype,
                    interpret: bool = False):
     i = pl.program_id(0)
-    xg = _gather_xg(i, cbase, x2d_ref, meta_ref, xs_scr, t, acc_dtype,
-                    interpret)
-    v = val_ref[0].astype(acc_dtype)                # (W, T)
-    # unpack the (row<<4|col) bytes from meta words (4 slots per int32);
-    # arithmetic shift then mask keeps byte 3 correct despite the sign bit
-    rc = jnp.concatenate(
-        [(meta_ref[0, META_RC0 + w // 4][None, :] >> ((w % 4) * 8)) & 255
-         for w in range(width)], axis=0)            # (W, T)
-    row = rc >> 4
-    col = rc & 15
-    # intra-tile x gather: 16-way select sum (one-hot over the x block)
-    xv = jnp.zeros((width, t), acc_dtype)
-    for k in range(_B):
-        xv += jnp.where(col == k, xg[k, :][None, :],
-                        jnp.asarray(0.0, acc_dtype))
-    contrib = v * xv                                # (W, T)
-    # intra-tile row reduce: 16-way masked sums
-    rows = [jnp.sum(jnp.where(row == k, contrib,
-                              jnp.asarray(0.0, acc_dtype)),
-                    axis=0, keepdims=True)
-            for k in range(_B)]
-    yc = jnp.concatenate(rows, axis=0)              # (16, T)
-    _aggregate(i, cfirst, yc, meta_ref, out_ref, t, acc_dtype, interpret)
+    blks = []
+    for b in range(c_batch):
+        xg = _gather_xg(i * c_batch + b, cbase, x2d_ref, meta_ref, xs_scr,
+                        b, t, acc_dtype, interpret)
+        v = val_ref[b].astype(acc_dtype)            # (W, T)
+        # unpack the (row<<4|col) bytes from meta words (4 slots per
+        # int32); arithmetic shift then mask keeps byte 3 correct despite
+        # the sign bit
+        rc = jnp.concatenate(
+            [(meta_ref[b, META_RC0 + w // 4][None, :] >> ((w % 4) * 8))
+             & 255 for w in range(width)], axis=0)  # (W, T)
+        row = rc >> 4
+        col = rc & 15
+        # intra-tile x gather: 16-way select sum (one-hot over x block)
+        xv = jnp.zeros((width, t), acc_dtype)
+        for k in range(_B):
+            xv += jnp.where(col == k, xg[k, :][None, :],
+                            jnp.asarray(0.0, acc_dtype))
+        contrib = v * xv                            # (W, T)
+        # intra-tile row reduce: 16-way masked sums
+        rows = [jnp.sum(jnp.where(row == k, contrib,
+                                  jnp.asarray(0.0, acc_dtype)),
+                        axis=0, keepdims=True)
+                for k in range(_B)]
+        yc = jnp.concatenate(rows, axis=0)          # (16, T)
+        blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
+                                  interpret))
+    _write_out(i, cfirst, _tree_sum(blks), out_ref)
 
 
-def _grid_spec(nchunks, tensor_specs, x_dtype=jnp.float32):
+def _grid_spec(nsteps, tensor_specs, x_dtype=jnp.float32,
+               c_batch: int = 1):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nchunks,),
+        grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + tensor_specs,
         out_specs=pl.BlockSpec(
             (_B, ROW_WINDOW),
             lambda i, cbase, cw, cfirst: (0, cw[i]),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((SPAN_TC, _B), x_dtype),
+            pltpu.VMEM((c_batch * SPAN_TC, _B), x_dtype),
         ],
     )
 
@@ -176,17 +200,18 @@ def _chunk_spec(shape_tail, lead: int = 1):
 def dense_class_call(d: DenseChunks, x2d: jax.Array, n_windows: int,
                      interpret: bool = False) -> jax.Array:
     """Run the dense-tile class; returns y2dT (16, n_windows*ROW_WINDOW)."""
-    nchunks = d.val.shape[0]
+    nsteps = d.val.shape[0] // d.c_batch
     acc_dtype = jnp.float32 if x2d.dtype != jnp.float64 else jnp.float64
     kernel = functools.partial(_dense_kernel, t=d.t_lanes,
+                               c_batch=d.c_batch,
                                acc_dtype=acc_dtype, interpret=interpret)
     tensor_specs = [
-        _chunk_spec((_B, _B, d.t_lanes)),     # val
-        _chunk_spec((META_ROWS, d.t_lanes)),  # meta
+        _chunk_spec((_B, _B, d.t_lanes), lead=d.c_batch),     # val
+        _chunk_spec((META_ROWS, d.t_lanes), lead=d.c_batch),  # meta
     ]
     return pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(nchunks, tensor_specs, x2d.dtype),
+        grid_spec=_grid_spec(nsteps, tensor_specs, x2d.dtype, d.c_batch),
         out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                        acc_dtype),
         interpret=interpret,
@@ -196,30 +221,22 @@ def dense_class_call(d: DenseChunks, x2d: jax.Array, n_windows: int,
 def sparse_class_call(s: SparseChunks, x2d: jax.Array, n_windows: int,
                       interpret: bool = False) -> jax.Array:
     """Run one sparse-entry class; returns y2dT (16, n_windows*RW)."""
-    nchunks = s.val.shape[0]
+    nsteps = s.val.shape[0] // s.c_batch
     acc_dtype = jnp.float32 if x2d.dtype != jnp.float64 else jnp.float64
     kernel = functools.partial(_sparse_kernel, width=s.width, t=s.t_lanes,
+                               c_batch=s.c_batch,
                                acc_dtype=acc_dtype, interpret=interpret)
     tensor_specs = [
-        _chunk_spec((s.width, s.t_lanes)),    # val
-        _chunk_spec((META_ROWS, s.t_lanes)),  # meta (incl. packed rowcol)
+        _chunk_spec((s.width, s.t_lanes), lead=s.c_batch),    # val
+        _chunk_spec((META_ROWS, s.t_lanes), lead=s.c_batch),  # meta
     ]
     return pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(nchunks, tensor_specs, x2d.dtype),
+        grid_spec=_grid_spec(nsteps, tensor_specs, x2d.dtype, s.c_batch),
         out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                        acc_dtype),
         interpret=interpret,
     )(s.cbase, s.cw, s.cfirst, x2d, s.val, s.meta)
-
-
-def _tree_sum(parts):
-    while len(parts) > 1:
-        nxt = [parts[k] + parts[k + 1] for k in range(0, len(parts) - 1, 2)]
-        if len(parts) % 2:
-            nxt.append(parts[-1])
-        parts = nxt
-    return parts[0]
 
 
 def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch

@@ -65,14 +65,17 @@ META_ROWS = 8
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseChunks:
-    """Densified-tile class: (nchunks, 16, 16, T) value blocks."""
+    """Densified-tile class: (nchunks, 16, 16, T) value blocks.
+    `cw`/`cfirst` are per grid *step* (`c_batch` same-window chunks)."""
     val: Any       # (nchunks, 16, 16, T)
     meta: Any      # (nchunks, 8, T) int32 — META_* rows
     cbase: Any     # (nchunks,) int32 — x span base (tile-column units)
-    cw: Any        # (nchunks,) int32 — output window id
-    cfirst: Any    # (nchunks,) int32 — 1 if first chunk of its window
+    cw: Any        # (nsteps,) int32 — output window id
+    cfirst: Any    # (nsteps,) int32 — 1 if first step of its window
 
     t_lanes: int = dataclasses.field(metadata=dict(static=True))
+    c_batch: int = dataclasses.field(default=1,
+                                     metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -88,6 +91,8 @@ class SparseChunks:
 
     width: int = dataclasses.field(metadata=dict(static=True))
     t_lanes: int = dataclasses.field(metadata=dict(static=True))
+    c_batch: int = dataclasses.field(default=1,
+                                     metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -239,69 +244,95 @@ def _densify_tiles(tm: TileMatrix):
     return trow[order], tcol[order], blocks[order]
 
 
-def _pick_t(n_tiles: int, tilem: int) -> int:
-    """Lane width per chunk: wide chunks amortize per-chunk fixed costs
-    (measured ~4x on v5e), narrow ones waste less padding in thinly
-    populated row windows."""
+def _pick_cb(n_tiles: int, tilem: int, t_lanes: int) -> int:
+    """Chunks per grid step: batch fragmented classes (many span-limited
+    chunks per window) to amortize the ~0.25 us per-step fixed cost."""
     n_windows = max(1, -(-tilem // ROW_WINDOW))
-    avg = n_tiles / n_windows
+    est = n_tiles / (n_windows * t_lanes)
+    cb = 1
+    while cb < 8 and cb * 2 <= est:
+        cb *= 2
+    return cb
+
+
+def _pick_t(trow: np.ndarray, tcol: np.ndarray, tilem: int) -> int:
+    """Lane width per chunk: wide chunks amortize per-chunk fixed costs
+    (measured ~4x on v5e), narrow ones waste less padding — and chunks
+    are cut by column span, so the expected tiles per chunk is the
+    per-window count divided by the window's span count, not the raw
+    average (fragmented windows would leave wide chunks mostly inert)."""
+    win = trow // ROW_WINDOW
+    uw, start = np.unique(win, return_index=True)
+    end = np.append(start[1:], trow.shape[0])
+    cnt = (end - start).astype(np.float64)
+    ext = (np.maximum.reduceat(tcol, start)
+           - np.minimum.reduceat(tcol, start) + 1)
+    spans = np.maximum(1, np.ceil(ext / SPAN_TC))
+    per_chunk = float(np.average(cnt / spans, weights=cnt))
     for t in reversed(T_CHOICES):
-        if avg >= 1.4 * t:
+        if per_chunk >= 0.75 * t:
             return t
     return T_CHOICES[0]
 
 
 def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
-                    t_lanes: int):
+                    t_lanes: int, c_batch: int = 1):
     """Cut (row-window, column-span)-local chunks of `t_lanes` tiles.
 
     Tiles must arrive sorted by (trow, tcol). Within each ROW_WINDOW of
     tile-rows, tiles are re-sorted by tile-column and cut greedily: a chunk
     closes after `t_lanes` tiles or when the column span would exceed
-    SPAN_TC. Returns per-chunk control scalars + the (nchunks, T) source
-    permutation (`src`, -1 = inert lane) + packed per-tile meta.
+    SPAN_TC. Each window's chunk count is padded to a multiple of
+    `c_batch` (a grid step processes c_batch same-window chunks, which
+    amortizes the per-step fixed cost on fragmented classes). Returns
+    per-chunk control scalars (cw/cfirst per *step*) + the (nchunks, T)
+    source permutation (`src`, -1 = inert lane) + packed per-tile meta.
     """
     T = t_lanes
     n_windows = max(1, -(-tilem // ROW_WINDOW))
     win_of_tile = trow // ROW_WINDOW
 
-    chunks_src, cw, cfirst, cbase = [], [], [], []
+    chunks_src, cw, cbase = [], [], []
     for w in range(n_windows):
         sel = np.nonzero(win_of_tile == w)[0]
-        if sel.size == 0:
+        nch = 0
+        if sel.size:
+            order = np.argsort(tcol[sel], kind="stable")
+            s = sel[order]
+            cols = tcol[s]
+            start = 0
+            while start < s.size:
+                base = int(cols[start])
+                stop = int(np.searchsorted(cols, base + SPAN_TC,
+                                           side="left"))
+                stop = min(stop, start + T, s.size)
+                lane = s[start:stop]
+                chunks_src.append(np.concatenate(
+                    [lane, np.full(T - lane.size, -1, np.int64)]))
+                cw.append(w)
+                cbase.append(base)
+                nch += 1
+                start = stop
+        # pad the window to a multiple of c_batch (>= 1 chunk, so every
+        # window's output block gets initialized)
+        while nch % c_batch or nch == 0:
             chunks_src.append(np.full(T, -1, np.int64))
             cw.append(w)
-            cfirst.append(1)
             cbase.append(0)
-            continue
-        order = np.argsort(tcol[sel], kind="stable")
-        s = sel[order]
-        cols = tcol[s]
-        start = 0
-        first = True
-        while start < s.size:
-            base = int(cols[start])
-            stop = int(np.searchsorted(cols, base + SPAN_TC, side="left"))
-            stop = min(stop, start + T, s.size)
-            lane = s[start:stop]
-            padded = np.concatenate(
-                [lane, np.full(T - lane.size, -1, np.int64)])
-            chunks_src.append(padded)
-            cw.append(w)
-            cfirst.append(1 if first else 0)
-            cbase.append(base)
-            first = False
-            start = stop
+            nch += 1
     src = np.stack(chunks_src)
     nchunks = src.shape[0]
+    cw_steps = np.asarray(cw[::c_batch], np.int32)
+    cfirst = np.ones(cw_steps.shape[0], np.int32)
+    cfirst[1:] = (cw_steps[1:] != cw_steps[:-1]).astype(np.int32)
 
     valid = src >= 0
     safe = np.where(valid, src, 0)
     tr = np.where(valid, trow[safe], 0)
     tc = np.where(valid, tcol[safe], 0)
-    cw = np.asarray(cw, np.int32)
+    cw_chunk = np.asarray(cw, np.int64)
     cbase = np.asarray(cbase, np.int32)
-    lrow = (tr - cw[:, None].astype(np.int64) * ROW_WINDOW).astype(np.int32)
+    lrow = (tr - cw_chunk[:, None] * ROW_WINDOW).astype(np.int32)
     lrow = np.where(valid, lrow, 0).astype(np.int32)
     xloc = (tc - cbase[:, None].astype(np.int64)).astype(np.int32)
     xloc = np.where(valid, xloc, -1).astype(np.int32)
@@ -309,8 +340,8 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
     meta = np.zeros((nchunks, META_ROWS, T), np.int32)
     meta[:, META_XLOC] = xloc
     meta[:, META_LROW] = lrow
-    return dict(src=src, valid=valid, meta=meta, cw=cw,
-                cfirst=np.asarray(cfirst, np.int32), cbase=cbase,
+    return dict(src=src, valid=valid, meta=meta, cw=cw_steps,
+                cfirst=cfirst, cbase=cbase,
                 n_windows=n_windows, nchunks=nchunks)
 
 
@@ -365,8 +396,9 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
     n_windows = max(1, -(-tm.tilem // ROW_WINDOW))
     dense = None
     if trow.size:
-        t_lanes = force_t or _pick_t(trow.size, tm.tilem)
-        meta = _chunk_metadata(trow, tcol, tm.tilem, t_lanes)
+        t_lanes = force_t or _pick_t(trow, tcol, tm.tilem)
+        cb = 1 if force_t else _pick_cb(trow.size, tm.tilem, t_lanes)
+        meta = _chunk_metadata(trow, tcol, tm.tilem, t_lanes, cb)
         valid = meta["valid"]
         safe = np.where(valid, meta["src"], 0)
         vt = blocks[safe].astype(cdt)       # (nchunks, T, b_i, b_j)
@@ -377,7 +409,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         dense = DenseChunks(
             val=jnp.asarray(val), meta=jnp.asarray(meta["meta"]),
             cbase=jnp.asarray(meta["cbase"]), cw=jnp.asarray(meta["cw"]),
-            cfirst=jnp.asarray(meta["cfirst"]), t_lanes=t_lanes)
+            cfirst=jnp.asarray(meta["cfirst"]), t_lanes=t_lanes,
+            c_batch=cb)
         n_windows = meta["n_windows"]
 
     # COO tiles: entry-level stream engine when there is enough work to
@@ -412,8 +445,9 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         W = 16
         strow = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
         stcol = tm.tile_columnidx[bk.tile_ids].astype(np.int64)
-        t_lanes = force_t or _pick_t(bk.num_tiles, tm.tilem)
-        meta = _chunk_metadata(strow, stcol, tm.tilem, t_lanes)
+        t_lanes = force_t or _pick_t(strow, stcol, tm.tilem)
+        cb = 1 if force_t else _pick_cb(bk.num_tiles, tm.tilem, t_lanes)
+        meta = _chunk_metadata(strow, stcol, tm.tilem, t_lanes, cb)
         valid = meta["valid"]
         safe = np.where(valid, meta["src"], 0)
         owner = np.repeat(np.arange(bk.num_tiles), counts)
@@ -438,7 +472,7 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             val=jnp.asarray(np.ascontiguousarray(sval.transpose(0, 2, 1))),
             meta=jnp.asarray(mmeta), cbase=jnp.asarray(meta["cbase"]),
             cw=jnp.asarray(meta["cw"]), cfirst=jnp.asarray(meta["cfirst"]),
-            width=W, t_lanes=t_lanes))
+            width=W, t_lanes=t_lanes, c_batch=cb))
         n_windows = max(n_windows, meta["n_windows"])
 
     # leftover residual: HYB overflow (COO tiles are handled on-chip
