@@ -299,9 +299,10 @@ def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch
     ys = []
     for s in range(s_batch):
         cs = csum[s * SUBS:(s + 1) * SUBS]
-        rend = rend_ref[s].astype(jnp.int32)      # (R*8, 128)
-        rstart = rstart_ref[s].astype(jnp.int32)
-        rsrc = rsrc_ref[s].astype(jnp.int32)
+        # tpu.dynamic_gather consumes int8 indices directly
+        rend = rend_ref[s]                        # (R*8, 128) int8
+        rstart = rstart_ref[s]
+        rsrc = rsrc_ref[s]
         for t in range(rounds):
             sl = slice(t * SUBS, (t + 1) * SUBS)
             ue = jnp.take_along_axis(cs, rend[sl], axis=1)
