@@ -139,7 +139,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                         val: np.ndarray, m: int,
                         compute_dtype=jnp.float32, max_rounds: int = 8,
                         pad_rounds: Optional[int] = None,
-                        s_batch: Optional[int] = None):
+                        s_batch: Optional[int] = None,
+                        use_native: bool = True):
     """Compile a global COO entry list into stream slabs.
 
     Returns (StreamChunks | None, spill) where spill = (row, col, val)
@@ -153,6 +154,25 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                    np.zeros(0, np.float64))
     if nz == 0:
         return None, empty_spill
+
+    # native fast path (native/streamplan.cpp) — bit-compatible plan
+    # semantics; the NumPy path below is the reference implementation
+    if (use_native and cdt == np.dtype(np.float32)
+            and pad_rounds is None and max_rounds >= 8):
+        from ...core import native
+        raw = native.stream_plan(g_row, g_col, val, m, s_batch)
+        if raw is not None:
+            return StreamChunks(
+                val=jnp.asarray(raw["val"]),
+                vidx=jnp.asarray(raw["vidx"]),
+                rend=jnp.asarray(raw["rend"]),
+                rstart=jnp.asarray(raw["rstart"]),
+                rsrc=jnp.asarray(raw["rsrc"]),
+                sbase=jnp.asarray(raw["sbase"]),
+                cw=jnp.asarray(raw["cw"]),
+                cfirst=jnp.asarray(raw["cfirst"]),
+                rounds=raw["rounds"],
+                s_batch=raw["s_batch"]), empty_spill
 
     win = (g_row >> 10).astype(np.int64)
     # single composite-key argsort (3x cheaper than lexsort)
