@@ -68,3 +68,39 @@ def test_native_env_disable(monkeypatch):
     csr = generate.banded(256, 256, 2, seed=28)
     tm = tile_create(csr, use_native=False)
     assert tm.tilenum > 0
+
+
+def test_native_stream_plan_matches_numpy():
+    """native/streamplan.cpp and the NumPy reference builder produce
+    equivalent plans (same slab structure, same SpMV result)."""
+    from tilespmv_tpu.core import native
+    if native.get_lib() is None:
+        pytest.skip("no native library")
+    import jax.numpy as jnp
+    from tilespmv_tpu.ops.pallas.stream_plan import (RW_ROWS,
+                                                     build_stream_chunks)
+    from tilespmv_tpu.ops.pallas.kernels import stream_class_call
+    rng = np.random.default_rng(17)
+    m = n = 4096
+    nnz = 25000
+    row = rng.integers(0, m, nnz).astype(np.int64)
+    col = rng.integers(0, n, nnz).astype(np.int64)
+    row[: nnz // 5] = rng.integers(0, 2, nnz // 5)   # hub rows
+    val = rng.standard_normal(nnz)
+    x = rng.standard_normal(n).astype(np.float32)
+    xpad = np.zeros(((n + 127) // 128 + 64) * 128, np.float32)
+    xpad[:n] = x
+    outs = []
+    for nat in (True, False):
+        sc, spill = build_stream_chunks(row, col, val, m, use_native=nat,
+                                        s_batch=8)
+        assert spill[0].size == 0
+        nw2 = max(1, -(-m // RW_ROWS))
+        ys = stream_class_call(sc, jnp.asarray(xpad.reshape(-1, 128)),
+                               nw2, interpret=True)
+        y = (np.asarray(ys).reshape(8, nw2, 128).transpose(1, 0, 2)
+             .reshape(-1)[:m])
+        outs.append((sc.nslabs, y))
+    assert outs[0][0] == outs[1][0]
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4,
+                               atol=1e-5)
