@@ -147,22 +147,21 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
             win_of_slab_raw[k] = groups[g].win;
             base_of_slab_raw[k] = groups[g].base;
         }
-    int32_t S = s_batch_req;
-    if (S <= 0) {
-        // adaptive like the NumPy builder: widest power of two <= 16
-        // with at least 2 steps' worth of slabs per occupied window
-        int64_t occw = 0;
-        for (int64_t k = 0; k < nslabs_raw; ++k)
-            if (k == 0 || win_of_slab_raw[k] != win_of_slab_raw[k - 1])
-                ++occw;
-        const double avg = (double)nslabs_raw / std::max<int64_t>(1, occw);
-        S = 1;
-        while (S < 16 && S * 2 <= avg) S *= 2;
-    }
-
     std::vector<int64_t> win_cnt(nwin, 0);
     for (int64_t k = 0; k < nslabs_raw; ++k)
         ++win_cnt[win_of_slab_raw[k]];
+    int32_t S = s_batch_req;
+    if (S <= 0) {
+        // adaptive, matching the NumPy reference exactly: average slab
+        // count per window over ALL windows, counting one inert slab for
+        // each empty window (stream_plan.py s_batch auto block)
+        int64_t n_missing = 0;
+        for (int64_t w = 0; w < nwin; ++w)
+            if (win_cnt[w] == 0) ++n_missing;
+        const double avg = (double)(nslabs_raw + n_missing) / (double)nwin;
+        S = 1;
+        while (S < 16 && S * 2 <= avg) S *= 2;
+    }
     std::vector<int64_t> win_pad(nwin), win_start(nwin + 1, 0);
     for (int64_t w = 0; w < nwin; ++w) {
         int64_t c = win_cnt[w];

@@ -104,3 +104,20 @@ def test_native_stream_plan_matches_numpy():
     assert outs[0][0] == outs[1][0]
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_native_adaptive_s_batch_matches_numpy_with_empty_windows():
+    """Adaptive s_batch must agree even when row windows are empty
+    (regression: the native formula once excluded inert window slabs)."""
+    from tilespmv_tpu.ops.pallas.stream_plan import build_stream_chunks
+    rng = np.random.default_rng(5)
+    m = 10240                       # 10 windows, entries only in window 0
+    nnz = 4000
+    row = rng.integers(0, 1000, nnz).astype(np.int64)
+    col = rng.integers(0, 8192, nnz).astype(np.int64)
+    val = rng.standard_normal(nnz)
+    a, _ = build_stream_chunks(row, col, val, m, use_native=True)
+    b, _ = build_stream_chunks(row, col, val, m, use_native=False)
+    assert a.s_batch == b.s_batch
+    assert a.nslabs == b.nslabs
+    assert a.nsteps == b.nsteps

@@ -5,7 +5,7 @@ lane_plan.py for the design rationale and the mapping from the reference's
 warp-level CUDA kernels, tilespmv_cuda.h:394-792):
 
 1. **x gather** — one dynamic contiguous copy stages the chunk's x span
-   (SPAN_TC tile-columns, 8 KB) into VMEM scratch; a one-hot (SPAN_TC, T)
+   (SPAN_TC tile-columns, 16 KB f32) into VMEM scratch; a one-hot (SPAN_TC, T)
    selection matrix built from in-register compares multiplies it on the
    MXU to produce the per-tile x blocks xg (16, T). No per-element gathers.
 2. **tile math** —

@@ -10,9 +10,9 @@ is dynamically indexed per element:
   per-tile math is a full-width VPU op;
 * within each output row-window, tiles are **sorted by tile-column** and
   chunks are cut so that one chunk's tile-columns fit a contiguous span of
-  SPAN_TC = 128 tile-columns. The x-block gather then costs one dynamic
-  contiguous VMEM copy (the span, 8 KB) plus one one-hot (128, T) matmul on
-  the MXU — no per-element gathers;
+  SPAN_TC tile-columns (256 -> a 16 KB f32 span). The x-block gather then
+  costs one dynamic contiguous VMEM copy of the span plus one one-hot
+  (SPAN_TC, T) matmul on the MXU — no per-element gathers;
 * the y scatter becomes a **one-hot aggregation matmul**: chunks are grouped
   by output row-window (ROW_WINDOW tile-rows); the chunk's (16, T) tile
   results are multiplied by a (T, ROW_WINDOW) one-hot row matrix and

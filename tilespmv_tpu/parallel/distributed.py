@@ -68,6 +68,20 @@ def _pad_leading(a: jax.Array, target: int) -> jax.Array:
     return jnp.pad(a, pad)
 
 
+def _pad_residual(e: ResidualEngine, target: int) -> ResidualEngine:
+    """Pad a residual engine with zero-valued entries at the last local
+    row (keeps rows sorted so segment sums stay valid)."""
+    n0 = e.val.shape[0]
+    if n0 == target:
+        return e
+    last_row = e.row[-1] if n0 else jnp.zeros((), jnp.int32)
+    return ResidualEngine(
+        val=_pad_leading(e.val, target),
+        row=jnp.concatenate(
+            [e.row, jnp.full(target - n0, last_row, jnp.int32)]),
+        col=_pad_leading(e.col, target))
+
+
 def _unify_plans(plans: list[SpMVPlan]) -> list[SpMVPlan]:
     """Give every plan the same treedef and leaf shapes (see module doc)."""
     from ..ops.plan import (ColEngine, CsrEngine, DenseEngine, EllEngine,
@@ -151,17 +165,7 @@ def _unify_plans(plans: list[SpMVPlan]) -> list[SpMVPlan]:
     res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
 
     def unified_residual(p):
-        e = p.residual
-        n0 = e.val.shape[0]
-        if n0 == res_n:
-            return e
-        # padded entries: val 0 at the last local row (keeps rows sorted)
-        last_row = e.row[-1] if n0 else jnp.zeros((), jnp.int32)
-        return ResidualEngine(
-            val=_pad_leading(e.val, res_n),
-            row=jnp.concatenate(
-                [e.row, jnp.full(res_n - n0, last_row, jnp.int32)]),
-            col=_pad_leading(e.col, res_n))
+        return _pad_residual(p.residual, res_n)
 
     total_nnz = sum(p.nnz for p in plans)
     out = []
@@ -201,6 +205,9 @@ def _unify_lane_plans(plans: list) -> list:
                    default=128)
 
     def pad_class(c, target, n_windows, is_dense):
+        # per-step cw/cfirst padding below assumes one chunk per step;
+        # shard plans are built with force_t (which pins c_batch=1)
+        assert c.c_batch == 1, "SPMD unification requires c_batch == 1"
         nc = c.val.shape[0]
         if nc == target:
             return c
@@ -283,15 +290,7 @@ def _unify_lane_plans(plans: list) -> list:
     total_nnz = sum(p.nnz for p in plans)
     out = []
     for i, p in enumerate(plans):
-        e = p.residual
-        n0 = e.val.shape[0]
-        if n0 != res_n:
-            last_row = e.row[-1] if n0 else jnp.zeros((), jnp.int32)
-            e = ResidualEngine(
-                val=_pad_leading(e.val, res_n),
-                row=jnp.concatenate(
-                    [e.row, jnp.full(res_n - n0, last_row, jnp.int32)]),
-                col=_pad_leading(e.col, res_n))
+        e = _pad_residual(p.residual, res_n)
         out.append(LanePlan(
             dense=denses[i], sparses=sparses[i], residual=e,
             stream=streams[i],
@@ -370,6 +369,26 @@ def _plan_halo(blocks: list, n: int, ndev: int) -> HaloPlan:
                     translated_blocks=translated)
 
 
+def _plan_blocks(tile_matrices, backend, compute_dtype):
+    """Per-shard plans with shard-uniform knobs (shared by the 1-D and
+    2-D partitions): force_t pins chunk shapes, the stream decision is
+    global so every shard compiles the same program."""
+    if backend == "pallas":
+        from ..ops.pallas.lane_plan import (STREAM_MIN_ENTRIES,
+                                            build_lane_plan)
+        coo_total = sum(int(tm.coo.val.shape[0]) if tm.coo.num_tiles else 0
+                        for tm in tile_matrices)
+        use_stream = coo_total >= STREAM_MIN_ENTRIES
+        plans = [build_lane_plan(tm, compute_dtype=compute_dtype,
+                                 force_t=128, use_stream=use_stream,
+                                 stream_s_batch=4)
+                 for tm in tile_matrices]
+        return _unify_lane_plans(plans)
+    plans = [build_plan(tm, compute_dtype=compute_dtype)
+             for tm in tile_matrices]
+    return _unify_plans(plans)
+
+
 class DistributedSpMV:
     """Row-partitioned SpMV over a 1-D device mesh.
 
@@ -426,29 +445,9 @@ class DistributedSpMV:
             self.halo = None
         self.x_mode = x_mode
 
-        self.tile_matrices = []
-        plans = []
-        for block in blocks:
-            tm = tile_create(block, config)
-            self.tile_matrices.append(tm)
-        if backend == "pallas":
-            from ..ops.pallas.lane_plan import (STREAM_MIN_ENTRIES,
-                                                build_lane_plan)
-            coo_total = sum(
-                int(tm.coo.val.shape[0]) if tm.coo.num_tiles else 0
-                for tm in self.tile_matrices)
-            use_stream = coo_total >= STREAM_MIN_ENTRIES
-            for tm in self.tile_matrices:
-                plans.append(build_lane_plan(
-                    tm, compute_dtype=compute_dtype, force_t=128,
-                    use_stream=use_stream, stream_s_batch=4))
-        else:
-            for tm in self.tile_matrices:
-                plans.append(build_plan(tm, compute_dtype=compute_dtype))
-        if backend == "pallas":
-            plans = _unify_lane_plans(plans)
-        else:
-            plans = _unify_plans(plans)
+        self.tile_matrices = [tile_create(block, config)
+                              for block in blocks]
+        plans = _plan_blocks(self.tile_matrices, backend, compute_dtype)
         self.local_plan_struct = plans[0]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
         # place the stacked plan sharded over the mesh

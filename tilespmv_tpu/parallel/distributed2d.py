@@ -34,9 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import DEFAULT_CONFIG, TileConfig
 from ..core.convert import tile_create
 from ..io.mmio import CSRMatrix
-from ..ops.plan import build_plan
 from ..ops.spmv import spmv
-from .distributed import _row_block, _unify_lane_plans, _unify_plans
+from .distributed import _plan_blocks, _row_block
 from .mesh import COL_AXIS, ROW_AXIS, make_mesh2d
 
 
@@ -76,7 +75,6 @@ class DistributedSpMV2D:
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.backend = backend
 
-        plans = []
         self.tile_matrices = []
         blocks = []
         for i in range(nrow):
@@ -86,25 +84,8 @@ class DistributedSpMV2D:
                 blocks.append(_col_slice(stripe, j * cols_per,
                                          min((j + 1) * cols_per, n),
                                          cols_per))
-        for blk in blocks:
-            tm = tile_create(blk, config)
-            self.tile_matrices.append(tm)
-        if backend == "pallas":
-            from ..ops.pallas.lane_plan import (STREAM_MIN_ENTRIES,
-                                                build_lane_plan)
-            coo_total = sum(
-                int(tm.coo.val.shape[0]) if tm.coo.num_tiles else 0
-                for tm in self.tile_matrices)
-            use_stream = coo_total >= STREAM_MIN_ENTRIES
-            for tm in self.tile_matrices:
-                plans.append(build_lane_plan(
-                    tm, compute_dtype=compute_dtype, force_t=128,
-                    use_stream=use_stream, stream_s_batch=4))
-            plans = _unify_lane_plans(plans)
-        else:
-            plans = [build_plan(tm, compute_dtype=compute_dtype)
-                     for tm in self.tile_matrices]
-            plans = _unify_plans(plans)
+        self.tile_matrices = [tile_create(blk, config) for blk in blocks]
+        plans = _plan_blocks(self.tile_matrices, backend, compute_dtype)
         self.local_plan_struct = plans[0]
         stacked = jax.tree.map(
             lambda *xs: jnp.stack(xs).reshape(
