@@ -96,3 +96,15 @@ def test_2d_block_partition(grid):
     y = np.asarray(op(x))
     err = np.max(np.abs(y - golden) / (1 + np.abs(golden)))
     assert err < 1e-4
+
+
+def test_scaling_sweep_smoke(mesh8):
+    """Scaling harness runs end to end on the virtual mesh (absolute
+    numbers are CPU-meaningless; shapes/efficiency plumbing is what's
+    under test)."""
+    from tilespmv_tpu.bench.scaling import scaling_sweep
+    csr = generate.mixed_structure(1024, 1024, seed=3)
+    pts = scaling_sweep(csr, device_counts=[1, 2, 4], verbose=False)
+    assert [p.n_devices for p in pts] == [1, 2, 4]
+    assert all(p.ms > 0 and p.gflops > 0 for p in pts)
+    assert abs(pts[0].efficiency - 1.0) < 1e-9
