@@ -41,7 +41,7 @@ struct StreamPlan {
     int32_t rounds = 0, s_batch = 0;
 
     std::vector<float> val;       // nslabs*8*128
-    std::vector<int32_t> vidx;    // nslabs*8*128
+    std::vector<int16_t> vidx;    // nslabs*8*128
     std::vector<int8_t> rend;     // nslabs*rounds*8*128
     std::vector<int8_t> rstart;
     std::vector<int8_t> rsrc;
@@ -227,7 +227,7 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
             const int64_t e = ord[kk];
             const int64_t idx = (slab * SUBS + sub) * LANES + lane_of[kk];
             P->val[idx] = (float)vals[e];
-            P->vidx[idx] = (int32_t)(g_col[e] - groups[g].base
+            P->vidx[idx] = (int16_t)(g_col[e] - groups[g].base
                                      - (int64_t)sub * SUBWIN);
             ++kk;
         }
@@ -318,12 +318,12 @@ void sp_scalars(void* h, int64_t* out) {
     out[5] = 8;  // built-rounds stride of the internal planes
 }
 
-void sp_export(void* h, float* val, int32_t* vidx, int8_t* rend,
+void sp_export(void* h, float* val, int16_t* vidx, int8_t* rend,
                int8_t* rstart, int8_t* rsrc, int32_t* sbase, int32_t* cw,
                int32_t* cfirst) {
     auto* P = (StreamPlan*)h;
     std::memcpy(val, P->val.data(), P->val.size() * 4);
-    std::memcpy(vidx, P->vidx.data(), P->vidx.size() * 4);
+    std::memcpy(vidx, P->vidx.data(), P->vidx.size() * 2);
     // planes were built with stride 8 rounds; export trimmed to P->rounds
     const int64_t R = P->rounds;
     for (int64_t s = 0; s < P->nslabs; ++s) {

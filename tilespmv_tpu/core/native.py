@@ -161,7 +161,7 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
         out = dict(
             nslabs=nslabs, nsteps=nsteps, rounds=rounds, s_batch=s_b,
             val=np.zeros((nslabs, 8, 128), np.float32),
-            vidx=np.zeros((nslabs, 8, 128), np.int32),
+            vidx=np.zeros((nslabs, 8, 128), np.int16),
             rend=np.zeros((nslabs, rounds * 8, 128), np.int8),
             rstart=np.zeros((nslabs, rounds * 8, 128), np.int8),
             rsrc=np.zeros((nslabs, rounds * 8, 128), np.int8),

@@ -259,7 +259,7 @@ def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch
     contribs = []
     for s in range(s_batch):
         span = spans[s * SPAN_ROWS:(s + 1) * SPAN_ROWS]
-        vidx = vidx_ref[s]
+        vidx = vidx_ref[s].astype(jnp.int32)   # stored int16
         hi = vidx >> 7
         lo = vidx & (LANES - 1)
         rows = []

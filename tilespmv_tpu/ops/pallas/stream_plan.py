@@ -62,7 +62,7 @@ class StreamChunks:
     window's slab count is padded to a multiple of `s_batch`. `cw` and
     `cfirst` are per *step*; `sbase` is per slab."""
     val: Any      # (nslabs, 8, 128) compute dtype
-    vidx: Any     # (nslabs, 8, 128) int32: (hi<<7 | lo) within sublane window
+    vidx: Any     # (nslabs, 8, 128) int16: (hi<<7 | lo) within sublane window
     rend: Any     # (nslabs, R*8, 128) int8: inclusive run end lane
     rstart: Any   # (nslabs, R*8, 128) int8: exclusive run start lane
     rsrc: Any     # (nslabs, R*8, 128) int8: source sublane per target
@@ -91,7 +91,7 @@ def empty_stream_chunks(n_windows: int, rounds: int,
     ns = n_windows * s_batch
     return StreamChunks(
         val=jnp.zeros((ns, SUBS, LANES), cdt),
-        vidx=jnp.zeros((ns, SUBS, LANES), jnp.int32),
+        vidx=jnp.zeros((ns, SUBS, LANES), jnp.int16),
         rend=jnp.zeros((ns, rounds * SUBS, LANES), jnp.int8),
         rstart=jnp.zeros((ns, rounds * SUBS, LANES), jnp.int8),
         rsrc=jnp.zeros((ns, rounds * SUBS, LANES), jnp.int8),
@@ -288,10 +288,10 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     win_arr, base_arr, nslabs = win_new, base_new, n_padded
 
     val_arr = np.zeros((nslabs, SUBS, LANES), cdt)
-    vidx_arr = np.zeros((nslabs, SUBS, LANES), np.int32)
+    vidx_arr = np.zeros((nslabs, SUBS, LANES), np.int16)
     val_arr[slab_of, sub_of, lane_of] = v
     vidx_arr[slab_of, sub_of, lane_of] = (
-        (c - base_arr[slab_of] - sub_of * SUBWIN)).astype(np.int32)
+        (c - base_arr[slab_of] - sub_of * SUBWIN)).astype(np.int16)
 
     # --- contributors: maximal same-row runs within (slab, sublane) ---
     key = (slab_of * SUBS + sub_of)
