@@ -29,12 +29,9 @@
 namespace {
 
 constexpr int64_t RW_ROWS = 1024;
-constexpr int64_t SPAN_ROWS = 64;
-constexpr int64_t SUBWIN = 1024;
 constexpr int64_t LANES = 128;
 constexpr int64_t SUBS = 8;
 constexpr int64_t CAP = LANES - 1;
-constexpr int64_t SPAN_COLS = SPAN_ROWS * LANES;  // 8192
 
 struct StreamPlan {
     int64_t nslabs = 0, nsteps = 0, nwin = 0;
@@ -56,7 +53,13 @@ struct StreamPlan {
 extern "C" {
 
 void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
-               const double* vals, int64_t m, int32_t s_batch_req) {
+               const double* vals, int64_t m, int32_t s_batch_req,
+               int32_t subwin_rows) {
+    // sublane window = subwin_rows x2d128 rows (8 or 16); slab span = 8
+    // windows
+    const int64_t SUBWIN = (int64_t)subwin_rows * LANES;
+    const int64_t SPAN_COLS = SUBS * SUBWIN;
+    const int sub_shift = subwin_rows == 16 ? 11 : 10;
     auto* P = new StreamPlan();
     const int64_t nwin = std::max<int64_t>(1, (m + RW_ROWS - 1) / RW_ROWS);
     P->nwin = nwin;
@@ -98,7 +101,8 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
         const int64_t e = (g + 1 < ngroups) ? groups[g + 1].start : nz;
         for (int64_t k = groups[g].start; k < e; ++k) {
             group_of[k] = g;
-            sub_of[k] = (int32_t)((g_col[ord[k]] - groups[g].base) >> 10);
+            sub_of[k] = (int32_t)((g_col[ord[k]] - groups[g].base)
+                                  >> sub_shift);
         }
     }
     // stable sort by (group, sub, row) — group blocks are already
@@ -108,8 +112,8 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
         const int64_t e = (g + 1 < ngroups) ? groups[g + 1].start : nz;
         std::stable_sort(ord.begin() + s, ord.begin() + e,
                          [&](int64_t a, int64_t b) {
-            const int64_t sa = (g_col[a] - groups[g].base) >> 10;
-            const int64_t sb = (g_col[b] - groups[g].base) >> 10;
+            const int64_t sa = (g_col[a] - groups[g].base) >> sub_shift;
+            const int64_t sb = (g_col[b] - groups[g].base) >> sub_shift;
             if (sa != sb) return sa < sb;
             return g_row[a] < g_row[b];
         });
@@ -127,7 +131,7 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
         int32_t cur_sub = -1;
         for (int64_t k = s; k < e; ++k) {
             const int32_t sb = (int32_t)((g_col[ord[k]]
-                                          - groups[g].base) >> 10);
+                                          - groups[g].base) >> sub_shift);
             if (sb != cur_sub) { cur_sub = sb; run = 0; }
             slab_k[k] = (int32_t)(run / CAP);
             lane_of[k] = (int32_t)(run % CAP) + 1;

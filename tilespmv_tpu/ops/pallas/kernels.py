@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .lane_plan import (META_LROW, META_RC0, META_ROWS, META_XLOC,
                         ROW_WINDOW, SPAN_TC, DenseChunks, LanePlan,
                         SparseChunks)
-from .stream_plan import LANES, SPAN_ROWS, SUBS, RW_ROWS, StreamChunks
+from .stream_plan import LANES, SUBS, RW_ROWS, StreamChunks
 
 _B = 16  # tile edge; kernels are specialized to 16
 
@@ -244,32 +244,41 @@ def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch
                    rend_ref, rstart_ref, rsrc_ref,   # inputs
                    out_ref,                          # output
                    span_scr,                         # scratch
-                   *, rounds: int, s_batch: int, acc_dtype,
-                   interpret: bool = False):
+                   *, rounds: int, s_batch: int, subwin_rows: int,
+                   acc_dtype, interpret: bool = False):
     """One step = `s_batch` (8,128) entry slabs: hardware-gather x,
     prefix-sum by one batched matmul, boundary-gather scatter (see
     stream_plan.py module doc). Slab bodies are independent chains so
     Mosaic can interleave their gather latencies."""
     i = pl.program_id(0)
+    span_rows = SUBS * subwin_rows
     for s in range(s_batch):
-        span_scr[s * SPAN_ROWS:(s + 1) * SPAN_ROWS, :] = (
-            x2d_ref[pl.ds(sbase[i * s_batch + s], SPAN_ROWS), :])
+        span_scr[s * span_rows:(s + 1) * span_rows, :] = (
+            x2d_ref[pl.ds(sbase[i * s_batch + s], span_rows), :])
     spans = span_scr[...]
 
     contribs = []
     for s in range(s_batch):
-        span = spans[s * SPAN_ROWS:(s + 1) * SPAN_ROWS]
+        span = spans[s * span_rows:(s + 1) * span_rows]
         vidx = vidx_ref[s].astype(jnp.int32)   # stored int16
-        hi = vidx >> 7
+        hi = vidx >> 7                         # [0, subwin_rows)
         lo = vidx & (LANES - 1)
         rows = []
         for w in range(SUBS):
-            blk = span[SUBS * w: SUBS * w + SUBS, :]
-            low = jnp.broadcast_to(lo[w: w + 1], (SUBS, LANES))
+            blk = span[subwin_rows * w: subwin_rows * (w + 1), :]
+            low = jnp.broadcast_to(lo[w: w + 1],
+                                   (subwin_rows, LANES))
             hiw = jnp.broadcast_to(hi[w: w + 1], (SUBS, LANES))
             u = jnp.take_along_axis(blk, low, axis=1)
-            vv = jnp.take_along_axis(u, hiw, axis=0)
-            rows.append(vv[w: w + 1])        # the one row we need
+            if subwin_rows == SUBS:
+                vv = jnp.take_along_axis(u, hiw, axis=0)
+            else:
+                # sublane gathers are radix 8: select between halves
+                h7 = hiw & 7
+                va = jnp.take_along_axis(u[:SUBS], h7, axis=0)
+                vb = jnp.take_along_axis(u[SUBS: 2 * SUBS], h7, axis=0)
+                vv = jnp.where(hiw < SUBS, va, vb)
+            rows.append(vv[0:1])             # all rows equal
         xv = jnp.concatenate(rows, axis=0).astype(acc_dtype)
         contribs.append(val_ref[s].astype(acc_dtype) * xv)
     cstack = jnp.concatenate(contribs, axis=0)      # (8*S, 128)
@@ -330,7 +339,8 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
     ltri = jnp.asarray(
         np.triu(np.ones((LANES, LANES), np.float32)).astype(acc_dtype))
     kernel = functools.partial(_stream_kernel, rounds=sc.rounds,
-                               s_batch=S, acc_dtype=acc_dtype,
+                               s_batch=S, subwin_rows=sc.subwin_rows,
+                               acc_dtype=acc_dtype,
                                interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -349,7 +359,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
             lambda i, sbase, cw, cfirst: (0, cw[i]),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((S * SPAN_ROWS, LANES), x2d128.dtype),
+            pltpu.VMEM((S * SUBS * sc.subwin_rows, LANES), x2d128.dtype),
         ],
     )
     return pl.pallas_call(

@@ -43,7 +43,7 @@ import numpy as np
 
 from ...core.tile_matrix import TileMatrix
 from ..plan import ResidualEngine
-from .stream_plan import (RW_ROWS, SPAN_ROWS, StreamChunks,
+from .stream_plan import (MAX_SPAN_ROWS, RW_ROWS, StreamChunks,
                           build_stream_chunks)
 
 T_CHOICES = (128, 256, 512)   # tiles per chunk (lane-dim width classes)
@@ -122,8 +122,8 @@ class LanePlan:
 
     @property
     def x_padded_len128(self) -> int:
-        # stream-class x layout: (rows, 128) with SPAN_ROWS of slack
-        return (-(-self.n // 128) + SPAN_ROWS) * 128
+        # stream-class x layout: (rows, 128) with max-span slack
+        return (-(-self.n // 128) + MAX_SPAN_ROWS) * 128
 
     @property
     def n_stream_windows(self) -> int:
@@ -379,7 +379,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                     force_t: int | None = None,
                     use_stream: bool | None = None,
                     stream_rounds: int | None = None,
-                    stream_s_batch: int | None = None) -> LanePlan:
+                    stream_s_batch: int | None = None,
+                    stream_subwin_rows: int | None = None) -> LanePlan:
     """Compile a TileMatrix into the lane-major Pallas plan.
 
     `force_t` pins the chunk lane width for every class (used by the
@@ -433,7 +434,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                      * b + bk.col)
             stream, spill = build_stream_chunks(
                 g_row, g_col, bk.val, tm.m, compute_dtype=cdt,
-                pad_rounds=stream_rounds, s_batch=stream_s_batch)
+                pad_rounds=stream_rounds, s_batch=stream_s_batch,
+                subwin_rows=stream_subwin_rows)
         else:
             from .stream_plan import empty_stream_chunks
             stream = empty_stream_chunks(max(1, -(-tm.m // RW_ROWS)),

@@ -44,11 +44,15 @@ import jax.numpy as jnp
 import numpy as np
 
 RW_ROWS = 1024     # y rows per output window: (8 sublanes) x (128 lanes)
-SPAN_ROWS = 64     # x2d128 rows staged per slab (64*128 = 8192 x values)
-SUBWIN = 1024      # x values addressable by one sublane (8 span rows)
 LANES = 128
 SUBS = 8
 CAP = LANES - 1    # usable entry lanes per sublane (lane 0 reserved)
+# A sublane addresses one x window of `subwin_rows` x2d128 rows (8 rows =
+# 1024 values by default; sparse matrices pick 16 = 2048 values so their
+# sublanes fill). The slab's span is the 8 windows = 8*subwin_rows rows.
+MAX_SPAN_ROWS = 128   # staging slack for the widest window choice
+SPAN_ROWS = 64        # span rows at the default subwin_rows = 8
+SUBWIN = 1024         # x values per sublane window at the default
 
 
 @jax.tree_util.register_dataclass
@@ -72,6 +76,8 @@ class StreamChunks:
 
     rounds: int = dataclasses.field(metadata=dict(static=True))
     s_batch: int = dataclasses.field(metadata=dict(static=True))
+    subwin_rows: int = dataclasses.field(default=8,
+                                         metadata=dict(static=True))
 
     @property
     def nslabs(self) -> int:
@@ -81,10 +87,15 @@ class StreamChunks:
     def nsteps(self) -> int:
         return self.cw.shape[0]
 
+    @property
+    def span_rows(self) -> int:
+        return SUBS * self.subwin_rows
+
 
 def empty_stream_chunks(n_windows: int, rounds: int,
                         compute_dtype=jnp.float32,
-                        s_batch: int = 4) -> StreamChunks:
+                        s_batch: int = 4,
+                        subwin_rows: int = 8) -> StreamChunks:
     """All-inert slabs, one step per window (zero-initializes the class
     output; used by the SPMD unifier)."""
     cdt = np.dtype(compute_dtype)
@@ -98,7 +109,7 @@ def empty_stream_chunks(n_windows: int, rounds: int,
         sbase=jnp.zeros(ns, jnp.int32),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
-        rounds=rounds, s_batch=s_batch)
+        rounds=rounds, s_batch=s_batch, subwin_rows=subwin_rows)
 
 
 def _rank_within(key: np.ndarray) -> np.ndarray:
@@ -140,7 +151,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                         compute_dtype=jnp.float32, max_rounds: int = 8,
                         pad_rounds: Optional[int] = None,
                         s_batch: Optional[int] = None,
-                        use_native: bool = True):
+                        use_native: bool = True,
+                        subwin_rows: Optional[int] = None):
     """Compile a global COO entry list into stream slabs.
 
     Returns (StreamChunks | None, spill) where spill = (row, col, val)
@@ -155,12 +167,22 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     if nz == 0:
         return None, empty_spill
 
+    if subwin_rows is None:
+        # 16-row (2048-value) windows improve slab fill on very sparse
+        # matrices but double the span staging traffic — measured net
+        # negative on powerlaw_large (1.05 -> 1.26 ms), so the default
+        # stays 8; the knob remains for column-clustered workloads
+        subwin_rows = 8
+    subwin = subwin_rows * LANES
+    span_cols = SUBS * subwin
+
     # native fast path (native/streamplan.cpp) — bit-compatible plan
     # semantics; the NumPy path below is the reference implementation
     if (use_native and cdt == np.dtype(np.float32)
             and pad_rounds is None and max_rounds >= 8):
         from ...core import native
-        raw = native.stream_plan(g_row, g_col, val, m, s_batch)
+        raw = native.stream_plan(g_row, g_col, val, m, s_batch,
+                                 subwin_rows)
         if raw is not None:
             return StreamChunks(
                 val=jnp.asarray(raw["val"]),
@@ -172,7 +194,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                 cw=jnp.asarray(raw["cw"]),
                 cfirst=jnp.asarray(raw["cfirst"]),
                 rounds=raw["rounds"],
-                s_batch=raw["s_batch"]), empty_spill
+                s_batch=raw["s_batch"],
+                subwin_rows=subwin_rows), empty_spill
 
     win = (g_row >> 10).astype(np.int64)
     # single composite-key argsort (3x cheaper than lexsort)
@@ -201,7 +224,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
         bases_parts.append(bases)
         wins_parts.append(uwin[active])
         nxt = np.searchsorted(
-            key_wc, (uwin[active] << 33) | (bases + SPAN_ROWS * LANES))
+            key_wc, (uwin[active] << 33) | (bases + span_cols))
         frontier[active] = np.minimum(nxt, wend[active])
         active = frontier < wend
     g_starts = np.concatenate(starts_parts)
@@ -215,7 +238,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     # bucket entries by 1024-col sublane window, sort by row, split at CAP
     # per sublane — one global lexsort over (group, sublane, row)
     group_of = np.repeat(np.arange(ngroups), gsz)
-    sub_all = (c - gbase[group_of]) >> 10
+    shift = int(np.log2(subwin))
+    sub_all = (c - gbase[group_of]) >> shift
     # rows within a group share one window -> 10-bit local row suffices
     ord2 = np.argsort(((group_of * SUBS + sub_all) << 10)
                       | (r & (RW_ROWS - 1)), kind="stable")
@@ -291,7 +315,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     vidx_arr = np.zeros((nslabs, SUBS, LANES), np.int16)
     val_arr[slab_of, sub_of, lane_of] = v
     vidx_arr[slab_of, sub_of, lane_of] = (
-        (c - base_arr[slab_of] - sub_of * SUBWIN)).astype(np.int16)
+        (c - base_arr[slab_of] - sub_of * subwin)).astype(np.int16)
 
     # --- contributors: maximal same-row runs within (slab, sublane) ---
     key = (slab_of * SUBS + sub_of)
@@ -363,4 +387,4 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
         rsrc=jnp.asarray(rsrc.reshape(nslabs, rounds * SUBS, LANES)),
         sbase=jnp.asarray(sbase), cw=jnp.asarray(cw),
         cfirst=jnp.asarray(cfirst), rounds=rounds,
-        s_batch=s_batch), spill
+        s_batch=s_batch, subwin_rows=subwin_rows), spill

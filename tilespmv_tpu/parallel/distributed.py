@@ -253,8 +253,14 @@ def _unify_lane_plans(plans: list) -> list:
     if has_stream:
         rounds = max(p.stream.rounds for p in plans if p.stream is not None)
         nw2 = max(p.n_stream_windows for p in plans)
+        subw = {p.stream.subwin_rows for p in plans
+                if p.stream is not None}
+        assert len(subw) == 1, "shards must share subwin_rows (pin it)"
+        subw = subw.pop()
         per = [p.stream if p.stream is not None
-               else empty_stream_chunks(nw2, rounds, cdt) for p in plans]
+               else empty_stream_chunks(nw2, rounds, cdt,
+                                        subwin_rows=subw)
+               for p in plans]
         ns = max(s.nslabs for s in per)
 
         def pad_stream(s):
@@ -279,11 +285,13 @@ def _unify_lane_plans(plans: list) -> list:
                         [s.cw, jnp.full(xsteps, nw2 - 1, jnp.int32)]),
                     cfirst=jnp.concatenate(
                         [s.cfirst, jnp.zeros(xsteps, jnp.int32)]),
-                    rounds=rounds, s_batch=s.s_batch)
+                    rounds=rounds, s_batch=s.s_batch,
+                    subwin_rows=s.subwin_rows)
             return StreamChunks(
                 val=s.val, vidx=s.vidx, rend=rend, rstart=rstart,
                 rsrc=rsrc, sbase=s.sbase, cw=s.cw, cfirst=s.cfirst,
-                rounds=rounds, s_batch=s.s_batch)
+                rounds=rounds, s_batch=s.s_batch,
+                subwin_rows=s.subwin_rows)
         streams = [pad_stream(s) for s in per]
 
     res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
@@ -381,7 +389,7 @@ def _plan_blocks(tile_matrices, backend, compute_dtype):
         use_stream = coo_total >= STREAM_MIN_ENTRIES
         plans = [build_lane_plan(tm, compute_dtype=compute_dtype,
                                  force_t=128, use_stream=use_stream,
-                                 stream_s_batch=4)
+                                 stream_s_batch=4, stream_subwin_rows=8)
                  for tm in tile_matrices]
         return _unify_lane_plans(plans)
     plans = [build_plan(tm, compute_dtype=compute_dtype)
