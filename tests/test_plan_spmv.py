@@ -134,3 +134,18 @@ def test_column_partitioned_wide_matrix():
     assert np.max(np.abs(y - ref) / (1 + np.abs(ref))) < 1e-4
     assert op.shape == (256, 1024)
     assert op.flops() == 2 * csr.nnz
+
+
+@pytest.mark.parametrize("fmt", ["csr", "coo", "ell", "dns"])
+def test_forced_format_pallas(fmt):
+    """BASELINE config 2: forced-format mode through the device path."""
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    csr = generate.mixed_structure(256, 256, seed=12)
+    cfg = TileConfig(force_format=fmt)
+    op = TileSpMV(csr, config=cfg, backend="pallas")
+    hist = op.tile_matrix.format_histogram()
+    assert set(k for k, v in hist.items() if v) <= {fmt}
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    y = np.asarray(op(x))
+    ref = csr.to_dense().astype(np.float64) @ x
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=1e-4)
