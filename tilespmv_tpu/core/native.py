@@ -180,3 +180,31 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
         return out
     finally:
         lib.sp_release(h)
+
+
+def parse_coord_body(body: bytes, nnz: int, field: str):
+    """Parse a Matrix Market coordinate body natively
+    (native/mmio_parse.cpp); returns (rows, cols, vals) or None to fall
+    back to the NumPy tokenizer."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        lib.mm_parse_coord.restype = ctypes.c_int64
+        lib.mm_parse_coord.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+    except AttributeError:
+        return None
+    fcode = {"pattern": 0, "real": 1, "integer": 1, "complex": 2}[field]
+    rows = np.empty(nnz, np.int64)
+    cols = np.empty(nnz, np.int64)
+    vals = np.empty(nnz, np.float64)
+    got = lib.mm_parse_coord(body, len(body), nnz, fcode,
+                             rows.ctypes.data, cols.ctypes.data,
+                             vals.ctypes.data)
+    if got != nnz:
+        return None
+    return rows, cols, vals

@@ -184,6 +184,26 @@ def load_mtx(path_or_file: Union[str, "_io.TextIOBase"],
         raise MatrixMarketError("coordinate size line must be 'm n nnz'")
     m, n, nnz = int(size_parts[0]), int(size_parts[1]), int(size_parts[2])
 
+    # native body parser (native/mmio_parse.cpp), NumPy tokenizer fallback
+    from ..core import native as _native
+    parsed = _native.parse_coord_body(body.encode(), nnz, field)
+    if parsed is not None:
+        rows, cols, vals = parsed
+        vals = np.ones(nnz, value_dtype) if field == "pattern" \
+            else vals.astype(value_dtype)
+        if nnz and (rows.min() < 0 or cols.min() < 0 or rows.max() >= m
+                    or cols.max() >= n):
+            raise MatrixMarketError("entry index out of bounds")
+        if sym in ("symmetric", "hermitian", "skew-symmetric") and nnz:
+            off = rows != cols
+            mrows, mcols = cols[off], rows[off]
+            mvals = -vals[off] if sym == "skew-symmetric" else vals[off]
+            rows = np.concatenate([rows, mrows])
+            cols = np.concatenate([cols, mcols])
+            vals = np.concatenate([vals, mvals])
+        return csr_from_coo(m, n, rows, cols, vals,
+                            is_symmetric=sym != "general")
+
     per_entry = {"pattern": 2, "real": 3, "integer": 3, "complex": 4}[field]
     if tokens.size < nnz * per_entry:
         raise MatrixMarketError(
