@@ -244,11 +244,19 @@ def _densify_tiles(tm: TileMatrix):
     return trow[order], tcol[order], blocks[order]
 
 
-def _pick_cb(n_tiles: int, tilem: int, t_lanes: int) -> int:
-    """Chunks per grid step: batch fragmented classes (many span-limited
-    chunks per window) to amortize the ~0.25 us per-step fixed cost."""
-    n_windows = max(1, -(-tilem // ROW_WINDOW))
-    est = n_tiles / (n_windows * t_lanes)
+def _pick_cb(trow: np.ndarray, tcol: np.ndarray, tilem: int,
+             t_lanes: int) -> int:
+    """Chunks per grid step: batch multi-chunk windows to amortize the
+    ~0.25 us per-step fixed cost. Chunk count per window is estimated
+    from both limits — column spans and the lane width."""
+    win = trow // ROW_WINDOW
+    uw, start = np.unique(win, return_index=True)
+    end = np.append(start[1:], trow.shape[0])
+    cnt = (end - start).astype(np.float64)
+    ext = (np.maximum.reduceat(tcol, start)
+           - np.minimum.reduceat(tcol, start) + 1)
+    chunks = np.maximum(np.ceil(ext / SPAN_TC), np.ceil(cnt / t_lanes))
+    est = float(np.average(chunks, weights=cnt))
     cb = 1
     while cb < 8 and cb * 2 <= est:
         cb *= 2
@@ -398,7 +406,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
     dense = None
     if trow.size:
         t_lanes = force_t or _pick_t(trow, tcol, tm.tilem)
-        cb = 1 if force_t else _pick_cb(trow.size, tm.tilem, t_lanes)
+        cb = 1 if force_t else _pick_cb(trow, tcol, tm.tilem,
+                                        t_lanes)
         meta = _chunk_metadata(trow, tcol, tm.tilem, t_lanes, cb)
         valid = meta["valid"]
         safe = np.where(valid, meta["src"], 0)
@@ -448,7 +457,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         strow = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
         stcol = tm.tile_columnidx[bk.tile_ids].astype(np.int64)
         t_lanes = force_t or _pick_t(strow, stcol, tm.tilem)
-        cb = 1 if force_t else _pick_cb(bk.num_tiles, tm.tilem, t_lanes)
+        cb = 1 if force_t else _pick_cb(strow, stcol, tm.tilem,
+                                        t_lanes)
         meta = _chunk_metadata(strow, stcol, tm.tilem, t_lanes, cb)
         valid = meta["valid"]
         safe = np.where(valid, meta["src"], 0)
