@@ -38,7 +38,7 @@ def main() -> int:
         for _ in range(2):
             op = TileSpMV(tm if tm is not None else csr, backend="auto")
             tm = op.tile_matrix          # convert once, place twice
-            res = benchmark_op(op, name=name, warmup=2, timed_reps=3,
+            res = benchmark_op(op, name=name, warmup=2, timed_reps=5,
                                iters_per_rep=50)
             if best is None or res.ms < best.ms:
                 best = res
