@@ -96,3 +96,13 @@ def test_halo_ragged_n():
     y = np.asarray(op(x))
     ref = d.astype(np.float64) @ x
     np.testing.assert_allclose(y, ref, rtol=2e-4, atol=1e-4)
+
+
+def test_benchmark_column_partitioned():
+    """benchmark_op handles the column-partitioned operator (plan=None)."""
+    from tilespmv_tpu.bench.harness import benchmark_op
+    csr = generate.mixed_structure(256, 1024, seed=9)
+    op = TileSpMV(csr, backend="pallas", max_cols_per_plan=256)
+    res = benchmark_op(op, warmup=1, timed_reps=1, iters_per_rep=2)
+    assert res.nnz == csr.nnz and res.ms > 0
+    assert res.n == 1024

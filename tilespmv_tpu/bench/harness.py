@@ -54,6 +54,31 @@ class BenchResult:
         return dataclasses.asdict(self)
 
 
+@functools.partial(jax.jit, static_argnames=("backend", "iters",
+                                             "col_starts", "col_ns"))
+def _spmv_loop_parts(plans: tuple, x: jax.Array, iters: int, backend: str,
+                     col_starts: tuple, col_ns: tuple) -> jax.Array:
+    """Repeat loop over a column-partitioned operator (partial sums)."""
+
+    def one(x_cur):
+        y = None
+        for plan, c0, nk in zip(plans, col_starts, col_ns):
+            yk = spmv(plan, jax.lax.dynamic_slice(x_cur, (c0,), (nk,)),
+                      backend=backend)
+            y = yk if y is None else y + yk
+        return y
+
+    def body(_, carry):
+        x_cur, acc = carry
+        y = one(x_cur)
+        s = jnp.sum(y) * jnp.asarray(1e-30, y.dtype)
+        return x_cur.at[:1].add(s.astype(x_cur.dtype)), acc + jnp.sum(y)
+
+    _, acc = jax.lax.fori_loop(0, iters, body,
+                               (x, jnp.zeros((), dtype=x.dtype)))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("backend", "iters"))
 def _spmv_loop(plan: SpMVPlan, x: jax.Array, iters: int,
                backend: str) -> jax.Array:
@@ -101,47 +126,61 @@ def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
     cost (~30 ms over the tunnel) would otherwise swamp microsecond-scale
     kernels.
     """
-    plan = op.plan
+    if op.plan is None:   # column-partitioned operator
+        parts = op._col_parts
+        plans = tuple(p.plan for p in parts)
+        col_starts = tuple(op._col_starts)
+        col_ns = tuple(p.plan.n for p in parts)
+        loop = functools.partial(_spmv_loop_parts, backend=op.backend,
+                                 col_starts=col_starts, col_ns=col_ns)
+        plan_arg = plans
+        m, n = op.shape
+        nnz = sum(p.plan.nnz for p in parts)
+        flops = op.flops()
+        nbytes = op.bytes_accessed()
+        n_x = col_starts[-1] + col_ns[-1]
+    else:
+        loop = functools.partial(_spmv_loop, backend=op.backend)
+        plan_arg = op.plan
+        m, n, nnz = op.plan.m, op.plan.n, op.plan.nnz
+        flops = op.plan.flops()
+        nbytes = op.plan.bytes_accessed()
+        n_x = n
     if x is None:
-        x = ((np.arange(plan.n) % 10) / 4.0)
+        x = ((np.arange(n_x) % 10) / 4.0)
+    elif op.plan is None and x.shape[0] < n_x:
+        x = np.concatenate([x, np.zeros(n_x - x.shape[0], x.dtype)])
     xj = jnp.asarray(x, dtype=op.compute_dtype)
 
     # Calibrate: pick k_big so the k_big-vs-k_small delta (the quantity we
     # actually measure) is ~50 ms — far above host-round-trip jitter. One
     # extra compile, but tiny matrices would otherwise measure noise.
     k_cal = 32
-    t_cal = _timed(functools.partial(_spmv_loop, backend=op.backend,
-                                     iters=k_cal), plan, xj)
-    t_cal = _timed(functools.partial(_spmv_loop, backend=op.backend,
-                                     iters=k_cal), plan, xj)  # warm
+    t_cal = _timed(functools.partial(loop, iters=k_cal), plan_arg, xj)
+    t_cal = _timed(functools.partial(loop, iters=k_cal), plan_arg, xj)
     per_iter_est = max((t_cal - 0.02) / k_cal, 1e-7)
     k_big = int(np.clip(0.05 / per_iter_est, iters_per_rep, 1_000_000))
     k_small = max(1, k_big // 16)
 
     for _ in range(max(warmup, 1)):
-        _timed(functools.partial(_spmv_loop, backend=op.backend,
-                                 iters=k_small), plan, xj)
-        _timed(functools.partial(_spmv_loop, backend=op.backend,
-                                 iters=k_big), plan, xj)
+        _timed(functools.partial(loop, iters=k_small), plan_arg, xj)
+        _timed(functools.partial(loop, iters=k_big), plan_arg, xj)
 
     diffs = []
     for _ in range(timed_reps):
-        t_small = _timed(functools.partial(_spmv_loop, backend=op.backend,
-                                           iters=k_small), plan, xj)
-        t_big = _timed(functools.partial(_spmv_loop, backend=op.backend,
-                                         iters=k_big), plan, xj)
+        t_small = _timed(functools.partial(loop, iters=k_small),
+                         plan_arg, xj)
+        t_big = _timed(functools.partial(loop, iters=k_big), plan_arg, xj)
         diffs.append((t_big - t_small) / (k_big - k_small))
     dt = float(np.median(diffs))
     dt = max(dt, 1e-9)
 
     chip = roofline.detect_chip()
-    flops = plan.flops()
-    nbytes = plan.bytes_accessed()
     gflops = flops / dt / 1e9
     return BenchResult(
-        name=name, m=plan.m, n=plan.n, nnz=plan.nnz,
+        name=name, m=m, n=n, nnz=nnz,
         ms=dt * 1e3, gflops=gflops,
-        gnnz_per_s=plan.nnz / dt / 1e9,
+        gnnz_per_s=nnz / dt / 1e9,
         gbytes_per_s=nbytes / dt / 1e9,
         roofline_frac=(nbytes / dt / 1e9) / roofline.peak_bandwidth_gbps(chip),
         chip=chip, backend=op.backend, iters=timed_reps * iters_per_rep)

@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".mtx path or synthetic corpus name")
     p.add_argument("--sweep", action="store_true",
                    help="benchmark the whole synthetic corpus")
+    p.add_argument("-d", "--device", default=None,
+                   choices=["cpu", "tpu"],
+                   help="platform select (reference main.cu -d; set "
+                        "before any JAX op)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--dtype", default="f32",
@@ -69,8 +73,13 @@ def _load(name: str):
 
 
 def main(argv=None) -> int:
+    # parse before importing anything that initializes JAX backends
     args = build_parser().parse_args(argv)
     import jax
+    if args.device:
+        # must run before backend initialization (reference -d,
+        # main.cu:35-58; env vars are unreliable under this harness)
+        jax.config.update("jax_platforms", args.device)
     import jax.numpy as jnp
 
     from .bench.harness import append_results_csv, benchmark_op
@@ -133,7 +142,10 @@ def main(argv=None) -> int:
         errs = int(np.sum(y_cpu != y_golden))
         print(f"CPU TileSpMV errcount = {errs}")
 
-    op = TileSpMV(tm, config=config, compute_dtype=dtype,
+    # pass the CSR for over-wide matrices so TileSpMV can column-
+    # partition (the TileMatrix was still needed for the CPU check above)
+    dev_input = csr if csr.n > TileSpMV.MAX_COLS_PER_PLAN else tm
+    op = TileSpMV(dev_input, config=config, compute_dtype=dtype,
                   backend=args.backend)
     t0 = time.perf_counter()
     y_dev = np.asarray(op(x.astype(np.float64)), dtype=np.float64)

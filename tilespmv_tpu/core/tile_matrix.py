@@ -232,9 +232,6 @@ class TileMatrix:
         assert self.tile_ptr.shape == (self.tilem + 1,)
         assert int(self.tile_ptr[-1]) == self.tilenum
         assert self.tile_nnz.shape == (self.tilenum + 1,)
-        bucket_nnz = (self.csr.val.size + self.coo.val.size
-                      + int(np.sum(np.diff(self.ell.ptr) > 0) * 0)  # padded
-                      )
         # per-tile nnz must match bucket contents
         per_tile = np.diff(self.tile_nnz)
         for code, bucket in ((FMT_CSR, self.csr), (FMT_COO, self.coo)):

@@ -129,6 +129,20 @@ def read_banner(line: str) -> tuple[str, str, str, str]:
     return obj, fmt, field, sym
 
 
+def _expand_symmetry(sym: str, rows, cols, vals):
+    """Mirror off-diagonal entries for symmetric/hermitian files
+    (mmio_highlevel.h:687-731); skew-symmetric negates the mirror."""
+    if sym not in ("symmetric", "hermitian", "skew-symmetric") \
+            or rows.size == 0:
+        return rows, cols, vals
+    off = rows != cols
+    mrows, mcols = cols[off], rows[off]
+    mvals = -vals[off] if sym == "skew-symmetric" else vals[off]
+    return (np.concatenate([rows, mrows]),
+            np.concatenate([cols, mcols]),
+            np.concatenate([vals, mvals]))
+
+
 def load_mtx(path_or_file: Union[str, "_io.TextIOBase"],
              value_dtype=np.float64) -> CSRMatrix:
     """Load a Matrix Market file into canonical CSR.
@@ -148,14 +162,12 @@ def load_mtx(path_or_file: Union[str, "_io.TextIOBase"],
     size_parts = line.split()
 
     body = f.read()
-    tokens = np.array(body.split())
 
     if fmt == "array":
         if len(size_parts) != 2:
             raise MatrixMarketError("array size line must be 'm n'")
         m, n = int(size_parts[0]), int(size_parts[1])
-        per = 2 if field == "complex" else 1
-        vals = tokens.astype(np.float64)
+        vals = np.array(body.split()).astype(np.float64)
         if field == "complex":
             vals = vals[0::2]  # real part
         if sym == "general":
@@ -184,51 +196,35 @@ def load_mtx(path_or_file: Union[str, "_io.TextIOBase"],
         raise MatrixMarketError("coordinate size line must be 'm n nnz'")
     m, n, nnz = int(size_parts[0]), int(size_parts[1]), int(size_parts[2])
 
-    # native body parser (native/mmio_parse.cpp), NumPy tokenizer fallback
+    # native body parser (native/mmio_parse.cpp); the NumPy tokenizer
+    # runs only as the fallback (tokenizing first would cost the dominant
+    # parse time even when the native path succeeds)
     from ..core import native as _native
     parsed = _native.parse_coord_body(body.encode(), nnz, field)
     if parsed is not None:
         rows, cols, vals = parsed
         vals = np.ones(nnz, value_dtype) if field == "pattern" \
             else vals.astype(value_dtype)
-        if nnz and (rows.min() < 0 or cols.min() < 0 or rows.max() >= m
-                    or cols.max() >= n):
-            raise MatrixMarketError("entry index out of bounds")
-        if sym in ("symmetric", "hermitian", "skew-symmetric") and nnz:
-            off = rows != cols
-            mrows, mcols = cols[off], rows[off]
-            mvals = -vals[off] if sym == "skew-symmetric" else vals[off]
-            rows = np.concatenate([rows, mrows])
-            cols = np.concatenate([cols, mcols])
-            vals = np.concatenate([vals, mvals])
-        return csr_from_coo(m, n, rows, cols, vals,
-                            is_symmetric=sym != "general")
+    else:
+        tokens = np.array(body.split())
+        per_entry = {"pattern": 2, "real": 3, "integer": 3,
+                     "complex": 4}[field]
+        if tokens.size < nnz * per_entry:
+            raise MatrixMarketError(
+                f"expected {nnz} entries x {per_entry} tokens, "
+                f"got {tokens.size}")
+        tokens = tokens[: nnz * per_entry].reshape(nnz, per_entry)
+        rows = tokens[:, 0].astype(np.int64) - 1
+        cols = tokens[:, 1].astype(np.int64) - 1
+        if field == "pattern":
+            vals = np.ones(nnz, dtype=value_dtype)
+        else:
+            vals = tokens[:, 2].astype(np.float64).astype(value_dtype)
 
-    per_entry = {"pattern": 2, "real": 3, "integer": 3, "complex": 4}[field]
-    if tokens.size < nnz * per_entry:
-        raise MatrixMarketError(
-            f"expected {nnz} entries x {per_entry} tokens, got {tokens.size}")
-    tokens = tokens[: nnz * per_entry].reshape(nnz, per_entry)
-
-    rows = tokens[:, 0].astype(np.int64) - 1
-    cols = tokens[:, 1].astype(np.int64) - 1
     if nnz and (rows.min() < 0 or cols.min() < 0 or rows.max() >= m
                 or cols.max() >= n):
         raise MatrixMarketError("entry index out of bounds")
-    if field == "pattern":
-        vals = np.ones(nnz, dtype=value_dtype)
-    else:
-        vals = tokens[:, 2].astype(np.float64).astype(value_dtype)
-
-    if sym in ("symmetric", "hermitian", "skew-symmetric") and nnz:
-        off = rows != cols
-        mrows = cols[off]
-        mcols = rows[off]
-        mvals = -vals[off] if sym == "skew-symmetric" else vals[off]
-        rows = np.concatenate([rows, mrows])
-        cols = np.concatenate([cols, mcols])
-        vals = np.concatenate([vals, mvals])
-
+    rows, cols, vals = _expand_symmetry(sym, rows, cols, vals)
     return csr_from_coo(m, n, rows, cols, vals,
                         is_symmetric=sym != "general")
 

@@ -89,6 +89,11 @@ class TileSpMV:
             self._init_col_partitioned(a, config, compute_dtype, backend,
                                        limit)
             return
+        if not isinstance(a, CSRMatrix) and a.n > limit:
+            raise ValueError(
+                f"matrix is wider (n={a.n}) than max_cols_per_plan="
+                f"{limit}; pass the CSRMatrix so TileSpMV can "
+                "column-partition it")
         if isinstance(a, CSRMatrix):
             a = tile_create(a, config)
         self.tile_matrix: TileMatrix = a
@@ -120,10 +125,11 @@ class TileSpMV:
         width = (limit // b) * b
         starts = list(range(0, csr.n, width))
         parts = []
+        all_rows = np.repeat(np.arange(csr.m), np.diff(csr.indptr))
         for c0 in starts:
             c1 = min(c0 + width, csr.n)
             sel = (csr.indices >= c0) & (csr.indices < c1)
-            rows = np.repeat(np.arange(csr.m), np.diff(csr.indptr))[sel]
+            rows = all_rows[sel]
             sub = CSRMatrix(
                 (csr.m, c1 - c0),
                 np.concatenate(
