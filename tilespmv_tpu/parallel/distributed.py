@@ -322,7 +322,10 @@ class HaloPlan:
     n_x_pad: int         # padded global x length (ndev * rx * 128)
     traffic_ratio: float  # halo bytes / all-gather bytes (per device)
     send_idx: np.ndarray  # (ndev, ndev*max_pk) local x2d rows to send
-    translated_blocks: list  # per-shard CSRMatrix in compact column space
+    local_blocks: list    # per-shard CSRMatrix over the OWN x segment
+    foreign_blocks: list  # per-shard CSRMatrix over the packet segments
+                          # (split so the all-to-all overlaps with the
+                          # local-columns compute, SURVEY §5)
 
 
 def _plan_halo(blocks: list, n: int, ndev: int) -> HaloPlan:
@@ -348,8 +351,12 @@ def _plan_halo(blocks: list, n: int, ndev: int) -> HaloPlan:
                 continue
             loc = (per_pair[d][e] - e * rx).astype(np.int32)
             send_idx[e, d * max_pk: d * max_pk + loc.shape[0]] = loc
-    # compact column map per shard: own rows first, then peer segments
-    translated = []
+    # compact column map per shard: own rows first, then peer segments.
+    # The matrix splits into a local part (own columns, computable before
+    # the exchange lands) and a foreign part (packet columns).
+    local_blocks, foreign_blocks = [], []
+    n_own = rx * XB
+    n_c = (rx + ndev * max_pk) * XB
     for d, blk in enumerate(blocks):
         cmap = np.full(ndev * rx, -1, np.int64)
         own = np.arange(d * rx, (d + 1) * rx)
@@ -361,20 +368,25 @@ def _plan_halo(blocks: list, n: int, ndev: int) -> HaloPlan:
             cmap[gb] = rx + e * max_pk + np.arange(gb.shape[0])
         cols = blk.indices.astype(np.int64)
         newcols = cmap[cols >> 7] * XB + (cols & (XB - 1))
-        # re-sort each row's columns (canonical CSR ordering; the
-        # renumbering interleaves owner segments)
         rowid = np.repeat(np.arange(blk.m), np.diff(blk.indptr))
-        order = np.lexsort((newcols, rowid))
-        n_c = (rx + ndev * max_pk) * XB
-        translated.append(CSRMatrix(
-            (blk.m, n_c), blk.indptr.copy(),
-            newcols[order].astype(np.int64), blk.data[order]))
+        for is_local in (True, False):
+            sel = (newcols < n_own) if is_local else (newcols >= n_own)
+            r_s, c_s, v_s = rowid[sel], newcols[sel], blk.data[sel]
+            order = np.lexsort((c_s, r_s))
+            indptr = np.concatenate(
+                [[0], np.cumsum(np.bincount(r_s, minlength=blk.m))]
+            ).astype(np.int64)
+            sub = CSRMatrix(
+                (blk.m, n_own if is_local else n_c), indptr,
+                c_s[order].astype(np.int64), v_s[order])
+            (local_blocks if is_local else foreign_blocks).append(sub)
     ag_bytes = (ndev - 1) * rx
     halo_bytes = ndev * max_pk
     ratio = halo_bytes / max(ag_bytes, 1)
     return HaloPlan(rx=rx, max_pk=max_pk, n_x_pad=n_x_pad,
                     traffic_ratio=ratio, send_idx=send_idx,
-                    translated_blocks=translated)
+                    local_blocks=local_blocks,
+                    foreign_blocks=foreign_blocks)
 
 
 def _plan_blocks(tile_matrices, backend, compute_dtype):
@@ -444,7 +456,6 @@ class DistributedSpMV:
             elif ndev == 1:
                 x_mode = "replicated"
         if x_mode == "halo":
-            blocks = halo.translated_blocks
             self.halo = halo
             self._send_idx = jax.device_put(
                 jnp.asarray(halo.send_idx),
@@ -453,14 +464,34 @@ class DistributedSpMV:
             self.halo = None
         self.x_mode = x_mode
 
-        self.tile_matrices = [tile_create(block, config)
-                              for block in blocks]
-        plans = _plan_blocks(self.tile_matrices, backend, compute_dtype)
-        self.local_plan_struct = plans[0]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
-        # place the stacked plan sharded over the mesh
-        self.plan_sharded = jax.device_put(
-            stacked, NamedSharding(self.mesh, P(ROW_AXIS)))
+        if x_mode == "halo":
+            # two plan stacks per shard: the LOCAL plan reads only the
+            # shard's own x segment, so its compute is independent of the
+            # packet exchange and XLA can overlap the all-to-all with it
+            # (SURVEY §5: collectives overlapped with local tile compute)
+            self.tile_matrices = [tile_create(b, config)
+                                  for b in halo.local_blocks]
+            tms_f = [tile_create(b, config) for b in halo.foreign_blocks]
+            plans_l = _plan_blocks(self.tile_matrices, backend,
+                                   compute_dtype)
+            plans_f = _plan_blocks(tms_f, backend, compute_dtype)
+            self.local_plan_struct = plans_l[0]
+            sharding = NamedSharding(self.mesh, P(ROW_AXIS))
+            self.plan_sharded = (
+                jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs),
+                                            *plans_l), sharding),
+                jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs),
+                                            *plans_f), sharding))
+        else:
+            self.tile_matrices = [tile_create(block, config)
+                                  for block in blocks]
+            plans = _plan_blocks(self.tile_matrices, backend,
+                                 compute_dtype)
+            self.local_plan_struct = plans[0]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *plans)
+            # place the stacked plan sharded over the mesh
+            self.plan_sharded = jax.device_put(
+                stacked, NamedSharding(self.mesh, P(ROW_AXIS)))
 
         backend_ = backend
         x_mode_ = x_mode
@@ -468,22 +499,30 @@ class DistributedSpMV:
         halo_ = self.halo
 
         if x_mode == "halo":
-            def local_step(plan_stack, x_in, sidx):
-                local = jax.tree.map(lambda a: a[0], plan_stack)
-                # selective exchange: gather the blocks each peer needs,
-                # one all-to-all, concat into the compact local layout
-                # (the shard's plan was built against this layout)
+            def local_step(plan_stacks, x_in, sidx):
+                stack_l, stack_f = plan_stacks
+                local_l = jax.tree.map(lambda a: a[0], stack_l)
+                local_f = jax.tree.map(lambda a: a[0], stack_f)
+                # start the selective exchange, then compute the local-
+                # columns plan while the packets are in flight (XLA's
+                # scheduler runs the async all-to-all concurrently — the
+                # local plan has no data dependence on it)
                 x2 = x_in.reshape(halo_.rx, 128)
                 send = jnp.take(x2, sidx[0], axis=0)  # (ndev*max_pk, 128)
                 recv = jax.lax.all_to_all(send, ROW_AXIS,
                                           split_axis=0, concat_axis=0,
                                           tiled=True)
+                y_local = spmv(local_l, x_in[: local_l.n],
+                               backend=backend_)
                 x_c = jnp.concatenate([x2, recv], axis=0).reshape(-1)
-                return spmv(local, x_c[: local.n], backend=backend_)
+                y_foreign = spmv(local_f, x_c[: local_f.n],
+                                 backend=backend_)
+                return y_local + y_foreign
 
             self._step = jax.jit(jax.shard_map(
                 local_step, mesh=self.mesh,
-                in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
+                in_specs=((P(ROW_AXIS), P(ROW_AXIS)), P(ROW_AXIS),
+                          P(ROW_AXIS)),
                 out_specs=P(ROW_AXIS), check_vma=False))
         else:
             def local_step(plan_stack: SpMVPlan,
