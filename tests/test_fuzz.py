@@ -72,3 +72,33 @@ def test_fuzz_configs_and_structures(seed):
     y_st = np.asarray(spmv_pallas(plan, jnp.asarray(x, jnp.float32),
                                   interpret=True))
     np.testing.assert_allclose(y_st, golden, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_distributed(seed):
+    """Random structures through the distributed paths on the virtual
+    mesh: halo (overlapped), allgather, and the 2-D block partition."""
+    import jax
+    from tilespmv_tpu.parallel import (DistributedSpMV, DistributedSpMV2D,
+                                       make_mesh, make_mesh2d)
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(2000 + seed)
+    csr = _random_csr(rng)
+    # pad rows so every shard gets tile-aligned work
+    x = rng.standard_normal(csr.n).astype(np.float32)
+    golden = csr.to_dense().astype(np.float64) @ x
+
+    op = DistributedSpMV(csr, mesh=make_mesh(4), x_mode="halo")
+    y = np.asarray(op(x))[: golden.shape[0]]
+    np.testing.assert_allclose(y, golden[: y.shape[0]], rtol=2e-4,
+                               atol=2e-4)
+
+    op = DistributedSpMV(csr, mesh=make_mesh(4), x_mode="allgather")
+    y2 = np.asarray(op(x))[: golden.shape[0]]
+    np.testing.assert_allclose(y2, golden[: y2.shape[0]], rtol=2e-4,
+                               atol=2e-4)
+
+    op3 = DistributedSpMV2D(csr, mesh=make_mesh2d(2, 2))
+    y3 = np.asarray(op3(x))[: golden.shape[0]]
+    np.testing.assert_allclose(y3, golden[: y3.shape[0]], rtol=2e-4,
+                               atol=2e-4)
