@@ -168,11 +168,14 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
         return None, empty_spill
 
     if subwin_rows is None:
-        # 16-row (2048-value) windows improve slab fill on very sparse
-        # matrices but double the span staging traffic — measured net
-        # negative on powerlaw_large (1.05 -> 1.26 ms), so the default
-        # stays 8; the knob remains for column-clustered workloads
-        subwin_rows = 8
+        # 16-row (2048-value) windows improve slab fill but double the
+        # span staging traffic. Measured crossover on v5e: fill >= ~50%
+        # at 1024-value windows -> keep 8 (powerlaw_large, 63% fill:
+        # 1.05 -> 1.26 ms with 16); below it -> 16 wins (13.5M power-law,
+        # 40% fill: 4.01 -> 3.53 ms).
+        ncols = int(g_col.max()) + 1
+        est_per_subwin = nz * SUBWIN * RW_ROWS / (max(m, 1) * ncols)
+        subwin_rows = 16 if est_per_subwin < 64 else 8
     subwin = subwin_rows * LANES
     span_cols = SUBS * subwin
 
