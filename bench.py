@@ -27,6 +27,21 @@ def main() -> int:
     from tilespmv_tpu.io import generate
     from tilespmv_tpu.ops.spmv import TileSpMV
 
+    def check(op, csr):
+        """Sampled 1%-relative gate before timing (reference
+        main.cu:186-197 runs its check before reporting)."""
+        x = ((np.arange(csr.n) % 10) / 4.0).astype(np.float32)
+        y = np.asarray(op(x))
+        rng = np.random.default_rng(0)
+        rows = rng.choice(csr.m, min(csr.m, 1024), replace=False)
+        for i in rows:
+            s, e = csr.indptr[i], csr.indptr[i + 1]
+            ref = float(np.dot(csr.data[s:e],
+                               x[csr.indices[s:e]].astype(np.float64)))
+            if abs(ref - y[i]) > 0.01 * abs(y[i]) + 1e-4:
+                raise AssertionError(
+                    f"check failed at row {i}: {y[i]} vs {ref}")
+
     details = []
     for name in FLAGSHIP:
         csr = generate.get_matrix(name)
@@ -35,9 +50,11 @@ def main() -> int:
         # and each instance's timing is itself a median of repeat loops
         tm = None
         best = None
-        for _ in range(2):
+        for inst in range(2):
             op = TileSpMV(tm if tm is not None else csr, backend="auto")
             tm = op.tile_matrix          # convert once, place twice
+            if inst == 0:
+                check(op, csr)           # 1%-relative gate (main.cu:186)
             res = benchmark_op(op, name=name, warmup=2, timed_reps=5,
                                iters_per_rep=50)
             if best is None or res.ms < best.ms:
