@@ -149,3 +149,15 @@ def test_forced_format_pallas(fmt):
     y = np.asarray(op(x))
     ref = csr.to_dense().astype(np.float64) @ x
     np.testing.assert_allclose(y, ref, rtol=2e-4, atol=1e-4)
+
+
+def test_spmm_multivector():
+    """Y = A @ X (SpMM API; beyond-reference capability)."""
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    csr = generate.mixed_structure(256, 256, seed=4)
+    op = TileSpMV(csr, backend="pallas")
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((csr.n, 5)).astype(np.float32)
+    ys = np.asarray(op.matmat(xs))
+    ref = csr.to_dense().astype(np.float64) @ xs
+    np.testing.assert_allclose(ys, ref, rtol=2e-4, atol=1e-4)

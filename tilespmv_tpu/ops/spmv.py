@@ -66,6 +66,19 @@ def spmv(plan, x: jax.Array, backend: str = "xla") -> jax.Array:
     return y[: plan.m]
 
 
+@functools.partial(jax.jit, static_argnames=("backend",))
+def spmm(plan, xs: jax.Array, backend: str = "xla") -> jax.Array:
+    """Y = A @ X for X of shape (n, k): vmapped SpMV over the compiled
+    plan (plan operands are shared across the k right-hand sides).
+
+    Beyond-reference capability (the reference is SpMV-only); per-column
+    kernel amortization is future work — this gives the API and correct
+    semantics at k x the SpMV cost.
+    """
+    f = functools.partial(spmv, backend=backend)
+    return jax.vmap(f, in_axes=(None, 1), out_axes=1)(plan, xs)
+
+
 class TileSpMV:
     """Compiled tiled SpMV operator.
 
@@ -170,6 +183,18 @@ class TileSpMV:
             raise ValueError(
                 f"x has shape {x.shape}, expected ({self.plan.n},)")
         return spmv(self.plan, x, backend=self.backend)
+
+    def matmat(self, xs) -> jax.Array:
+        """Y = A @ X for X (n, k) — multi-vector SpMM."""
+        xs = jnp.asarray(xs, dtype=self.compute_dtype)
+        if self._col_parts is not None:
+            y = None
+            for c0, part in zip(self._col_starts, self._col_parts):
+                yk = spmm(part.plan, xs[c0: c0 + part.plan.n],
+                          backend=part.backend)
+                y = yk if y is None else y + yk
+            return y
+        return spmm(self.plan, xs, backend=self.backend)
 
     def flops(self) -> int:
         if self._col_parts is not None:
