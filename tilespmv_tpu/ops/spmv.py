@@ -69,11 +69,12 @@ def spmv(plan, x: jax.Array, backend: str = "xla") -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("backend",))
 def spmm(plan, xs: jax.Array, backend: str = "xla") -> jax.Array:
     """Y = A @ X for X of shape (n, k): vmapped SpMV over the compiled
-    plan (plan operands are shared across the k right-hand sides).
+    plan (the plan operands are shared across the k right-hand sides).
 
-    Beyond-reference capability (the reference is SpMV-only); per-column
-    kernel amortization is future work — this gives the API and correct
-    semantics at k x the SpMV cost.
+    Beyond-reference capability (the reference is SpMV-only). A fused
+    k-wide dense-class kernel was measured SLOWER than the vmap on v5e
+    (the per-chunk (SPAN, 16k) span transpose dominates), so the vmap is
+    the shipped path.
     """
     f = functools.partial(spmv, backend=backend)
     return jax.vmap(f, in_axes=(None, 1), out_axes=1)(plan, xs)
