@@ -12,12 +12,14 @@ from .core.convert import tile_create
 from .core.tile_matrix import TileMatrix
 from .io.mmio import CSRMatrix, csr_from_coo, load_mtx, save_mtx
 from .ops.cpu_reference import spmv_cpu
+from .ops.spmv import TileSpMV, spmm, spmv
 
 __version__ = "0.1.0"
 
 __all__ = [
     "TileConfig", "DEFAULT_CONFIG", "TileMatrix", "CSRMatrix",
     "tile_create", "load_mtx", "save_mtx", "csr_from_coo", "spmv_cpu",
+    "TileSpMV", "spmv", "spmm",
     "FORMAT_NAMES", "FMT_CSR", "FMT_COO", "FMT_ELL", "FMT_HYB", "FMT_DNS",
     "FMT_DNSROW", "FMT_DNSCOL",
 ]
