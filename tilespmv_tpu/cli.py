@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help=".mtx path or synthetic corpus name")
     p.add_argument("--sweep", action="store_true",
                    help="benchmark the whole synthetic corpus")
+    p.add_argument("--scaling", action="store_true",
+                   help="strong-scaling sweep over the device mesh "
+                        "(BASELINE configs 4-5)")
     p.add_argument("-d", "--device", default=None,
                    choices=["cpu", "tpu"],
                    help="platform select (reference main.cu -d; set "
@@ -101,6 +104,12 @@ def main(argv=None) -> int:
     if args.sweep:
         sweep(config=config, backend=args.backend, compute_dtype=dtype,
               csv_path=args.csv or None)
+        return 0
+
+    if args.scaling:
+        from .bench.scaling import scaling_sweep
+        csr = _load(args.matrix or "mixed_medium")
+        scaling_sweep(csr, config=config)
         return 0
 
     if not args.matrix:
