@@ -34,7 +34,6 @@ static shapes and shards with NamedSharding.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any
 
 import jax

@@ -12,8 +12,6 @@ Replaces the reference's fused per-warp dispatch kernel
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -26,7 +26,6 @@ ranges per worker, atomics replaced by ownership.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
