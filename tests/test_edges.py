@@ -106,3 +106,23 @@ def test_benchmark_column_partitioned():
     res = benchmark_op(op, warmup=1, timed_reps=1, iters_per_rep=2)
     assert res.nnz == csr.nnz and res.ms > 0
     assert res.n == 1024
+
+
+def test_empty_matrix():
+    csr = CSRMatrix((64, 64), np.zeros(65, np.int64),
+                    np.zeros(0, np.int64), np.zeros(0))
+    from tilespmv_tpu import tile_create, spmv_cpu
+    tm = tile_create(csr)
+    assert np.abs(spmv_cpu(tm, np.ones(64))).max() == 0.0
+    op = TileSpMV(csr, backend="pallas")
+    assert np.abs(np.asarray(op(np.ones(64, np.float32)))).max() == 0.0
+
+
+def test_single_entry_matrix():
+    indptr = np.zeros(33, np.int64)
+    indptr[5:] = 1       # one entry in row 4
+    csr = CSRMatrix((32, 32), indptr, np.array([7], np.int64),
+                    np.array([2.5]))
+    op = TileSpMV(csr, backend="pallas")
+    y = np.asarray(op(np.arange(32, dtype=np.float32)))
+    assert abs(y[4] - 17.5) < 1e-5 and np.abs(np.delete(y, 4)).max() == 0
