@@ -17,3 +17,8 @@ def test_pagerank_example():
     from examples import pagerank
     err = pagerank.main()
     assert err < 1e-6
+
+
+def test_distributed_example():
+    from examples import distributed_run
+    distributed_run.main()   # asserts internally via prints; errors raise
