@@ -80,5 +80,19 @@ def main() -> int:
     return 0
 
 
+def _main_with_retry() -> int:
+    # the tunneled backend occasionally throws a transient
+    # "TPU backend error (Internal)"; one retry protects the round's
+    # recorded metric from a single hiccup
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001
+        print(f"# bench attempt 1 failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        import time
+        time.sleep(30)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
