@@ -145,6 +145,9 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
                 subwin_rows: int = 8) -> Optional[dict]:
     """Run the native stream-plan builder (native/streamplan.cpp);
     returns the raw plan arrays or None when unavailable."""
+    if subwin_rows not in (8, 16):
+        # the C++ core hardcodes sub_shift for these two widths only
+        return None
     lib = get_lib()
     if lib is None or not _init_stream_symbols(lib):
         return None

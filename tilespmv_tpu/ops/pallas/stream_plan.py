@@ -180,9 +180,13 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     span_cols = SUBS * subwin
 
     # native fast path (native/streamplan.cpp) — bit-compatible plan
-    # semantics; the NumPy path below is the reference implementation
+    # semantics; the NumPy path below is the reference implementation.
+    # The C++ core hardcodes sub_shift for subwin_rows in {8, 16}; any
+    # other value must take the NumPy path (it would corrupt the
+    # SUBS-strided plan buffers otherwise).
     if (use_native and cdt == np.dtype(np.float32)
-            and pad_rounds is None and max_rounds >= 8):
+            and pad_rounds is None and max_rounds >= 8
+            and subwin_rows in (8, 16)):
         from ...core import native
         raw = native.stream_plan(g_row, g_col, val, m, s_batch,
                                  subwin_rows)

@@ -27,10 +27,14 @@ def _timed(fn, *args, reps: int = 3, k1: int = 25, k2: int = 425) -> float:
 
     def looped(iters, *a):
         # perturb the last operand (x) with a result-dependent epsilon so
-        # XLA cannot hoist the call out of the loop
+        # XLA cannot hoist the call out of the loop; with no operands the
+        # accumulator carry itself is the hoist guard
         def body(i, carry):
             eps, acc = carry
-            out = fn(*a[:-1], a[-1] + eps.astype(a[-1].dtype))
+            if a:
+                out = fn(*a[:-1], a[-1] + eps.astype(a[-1].dtype))
+            else:
+                out = fn() + acc.astype(jnp.float32) * 0.0
             s = jnp.sum(out).astype(jnp.float32)
             return eps + s * 1e-30, acc + s
         _, acc = lax.fori_loop(
@@ -111,12 +115,12 @@ def profile_engines(op, x=None) -> dict[str, dict]:
     if plan.residual.val.shape[0]:
         r = plan.residual
 
-        def res_fn():
-            contrib = r.val * x_pad[r.col]
+        def res_fn(rv, xp):
+            contrib = rv * xp[r.col]
             return jax.ops.segment_sum(contrib, r.row,
                                        num_segments=plan.y_padded_len,
                                        indices_are_sorted=True)
-        dt = _timed(res_fn)  # residual arrays are small; closure is fine
+        dt = _timed(res_fn, r.val, x_pad)
         b = nbytes(r.val, r.row, r.col)
         out["residual"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9}
     return out
