@@ -244,23 +244,36 @@ def _densify_tiles(tm: TileMatrix):
     return trow[order], tcol[order], blocks[order]
 
 
+# measured v5e constants driving the chunk-batch cost model: per-grid-step
+# fixed cost (Mosaic step sequencing + DMA issue) and streaming bandwidth
+STEP_FIXED_S = 0.25e-6
+HBM_BPS = 800e9
+
+
 def _pick_cb(trow: np.ndarray, tcol: np.ndarray, tilem: int,
              t_lanes: int) -> int:
-    """Chunks per grid step: batch multi-chunk windows to amortize the
-    ~0.25 us per-step fixed cost. Chunk count per window is estimated
-    from both limits — column spans and the lane width."""
+    """Chunks per grid step. Batching amortizes the ~0.25 us per-step
+    fixed cost, but each window's chunk count is padded UP to a multiple
+    of c_batch and every padding chunk streams a full zero val block — so
+    pick the batch by minimizing (step fixed cost + padding bytes) over
+    the per-window chunk counts, not by a blind power-of-2 fit."""
     win = trow // ROW_WINDOW
     uw, start = np.unique(win, return_index=True)
     end = np.append(start[1:], trow.shape[0])
     cnt = (end - start).astype(np.float64)
     ext = (np.maximum.reduceat(tcol, start)
            - np.minimum.reduceat(tcol, start) + 1)
-    chunks = np.maximum(np.ceil(ext / SPAN_TC), np.ceil(cnt / t_lanes))
-    est = float(np.average(chunks, weights=cnt))
-    cb = 1
-    while cb < 8 and cb * 2 <= est:
-        cb *= 2
-    return cb
+    nch = np.maximum(np.ceil(ext / SPAN_TC), np.ceil(cnt / t_lanes))
+    chunk_bytes = (16 * 16 * t_lanes + META_ROWS * t_lanes) * 4
+    best, best_cost = 1, None
+    for cb in (1, 2, 4, 8):
+        steps = np.ceil(nch / cb)
+        pad = steps * cb - nch
+        cost = float((steps * STEP_FIXED_S
+                      + pad * chunk_bytes / HBM_BPS).sum())
+        if best_cost is None or cost < best_cost * 0.98:
+            best, best_cost = cb, cost
+    return best
 
 
 def _pick_t(trow: np.ndarray, tcol: np.ndarray, tilem: int) -> int:
