@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from tilespmv_tpu import TileConfig, tile_create
 from tilespmv_tpu.io import generate
-from tilespmv_tpu.ops.pallas.lane_plan import (ROW_WINDOW, SPAN_TC,
+from tilespmv_tpu.ops.pallas.lane_plan import (PANEL_TC, ROW_WINDOW,
                                                T_CHOICES, build_lane_plan)
 from tilespmv_tpu.ops.pallas.kernels import spmv_pallas
 from tilespmv_tpu.ops.spmv import TileSpMV
@@ -92,8 +92,8 @@ def test_lane_plan_structure():
     d = plan.dense
     assert d.val.shape[1:] == (16, 16, d.t_lanes)
     assert d.t_lanes in T_CHOICES
-    # every chunk's span base is within the (padded) x block range
-    assert int(jnp.max(d.cbase)) + SPAN_TC <= plan.x_padded_len // 16
+    # every step's panel ids are within the padded x panel range
+    assert int(jnp.max(d.pb)) < plan.n_panels
     # chunk windows are non-decreasing (VMEM-resident revisiting relies
     # on consecutive chunks sharing the output block)
     cw = np.asarray(d.cw)

@@ -130,10 +130,9 @@ def _init_stream_symbols(lib) -> bool:
         lib.sp_build.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32,
         ]
         lib.sp_scalars.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
-        lib.sp_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
+        lib.sp_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
         lib.sp_release.argtypes = [ctypes.c_void_p]
         return True
     except AttributeError:
@@ -141,13 +140,9 @@ def _init_stream_symbols(lib) -> bool:
 
 
 def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
-                m: int, s_batch: Optional[int],
-                subwin_rows: int = 8) -> Optional[dict]:
+                m: int, s_batch: Optional[int]) -> Optional[dict]:
     """Run the native stream-plan builder (native/streamplan.cpp);
     returns the raw plan arrays or None when unavailable."""
-    if subwin_rows not in (8, 16):
-        # the C++ core hardcodes sub_shift for these two widths only
-        return None
     lib = get_lib()
     if lib is None or not _init_stream_symbols(lib):
         return None
@@ -156,29 +151,26 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
     val64 = np.ascontiguousarray(val, dtype=np.float64)
     nz = g_row.shape[0]
     h = lib.sp_build(nz, g_row.ctypes.data, g_col.ctypes.data,
-                     val64.ctypes.data, m, int(s_batch or 0),
-                     int(subwin_rows))
+                     val64.ctypes.data, m, int(s_batch or 0))
     if not h:
         return None
     try:
         sc = np.zeros(6, np.int64)
         lib.sp_scalars(h, sc.ctypes.data)
-        nslabs, nsteps, rounds, s_b, nwin, _ = (int(v) for v in sc)
+        nslabs, nsteps, s_b, nwin, plane_rows, rounds = (
+            int(v) for v in sc)
         out = dict(
-            nslabs=nslabs, nsteps=nsteps, rounds=rounds, s_batch=s_b,
+            nslabs=nslabs, nsteps=nsteps, s_batch=s_b, rounds=rounds,
             val=np.zeros((nslabs, 8, 128), np.float32),
             vidx=np.zeros((nslabs, 8, 128), np.int16),
-            rend=np.zeros((nslabs, rounds * 8, 128), np.int8),
-            rstart=np.zeros((nslabs, rounds * 8, 128), np.int8),
-            rsrc=np.zeros((nslabs, rounds * 8, 128), np.int8),
+            planes=np.zeros((nslabs, plane_rows, 128), np.int8),
             sbase=np.zeros(nslabs, np.int32),
             cw=np.zeros(nsteps, np.int32),
             cfirst=np.zeros(nsteps, np.int32),
         )
         lib.sp_export(
             h, out["val"].ctypes.data, out["vidx"].ctypes.data,
-            out["rend"].ctypes.data, out["rstart"].ctypes.data,
-            out["rsrc"].ctypes.data, out["sbase"].ctypes.data,
+            out["planes"].ctypes.data, out["sbase"].ctypes.data,
             out["cw"].ctypes.data, out["cfirst"].ctypes.data)
         return out
     finally:

@@ -1,24 +1,31 @@
 """Pallas TPU kernels for the lane-major SpMV engines.
 
-Two kernels, both built from the same three-stage pattern (see
-lane_plan.py for the design rationale and the mapping from the reference's
-warp-level CUDA kernels, tilespmv_cuda.h:394-792):
+Four kernels built from one three-stage pattern (see lane_plan.py for the
+design rationale and the mapping from the reference's warp-level CUDA
+kernels, tilespmv_cuda.h:394-792):
 
-1. **x gather** — one dynamic contiguous copy stages the chunk's x span
-   (SPAN_TC tile-columns, 16 KB f32) into VMEM scratch; a one-hot (SPAN_TC, T)
-   selection matrix built from in-register compares multiplies it on the
-   MXU to produce the per-tile x blocks xg (16, T). No per-element gathers.
+1. **x gather** — the step's x panels ((16, 256) pre-transposed blocks)
+   arrive through the Pallas pipeline (scalar-prefetch block index maps,
+   double-buffered); width-128 hardware lane gathers
+   (`tpu.dynamic_gather` via `jnp.take_along_axis`) pick each tile's
+   16-value x block. Exact in both compiled and interpret mode — no MXU
+   one-hot, no dynamic in-kernel VMEM reads (~70 ns each on v5e).
 2. **tile math** —
    * dense class: 16 full-width VPU FMA steps over (16, T) slabs
      (the densified 16x16 tile times its x block);
-   * sparse class: per-slot packed (row<<4|col) decode with 16-way
-     compare/select one-hot sums on the VPU (the intra-tile gather and
-     row reduction of the reference's tile-CSR/COO device code,
-     tilespmv_cuda.h:461-559, without shuffles).
+   * band (brick) class: lane = tile-row, so C x 16 pure FMA steps with
+     zero index decode and zero output routing;
+   * sparse class: 4-bit packed columns are decoded with per-sublane
+     shifts, x is routed per slot by hardware sublane gathers, and the
+     16 per-row sums come from ONE triangular-matrix MXU prefix multiply
+     plus a packed row-pointer boundary gather (replaces the reference's
+     per-entry nibble decode + warp shuffle reduce,
+     tilespmv_cuda.h:531-605).
 3. **y aggregation** — the chunk's (16, T) result is multiplied by a
    (T, ROW_WINDOW) one-hot row matrix on the MXU and accumulated into the
    output row-window block, which stays VMEM-resident across the window's
-   consecutive chunks (replaces atomicAdd, tilespmv_cuda.h:384-390).
+   consecutive chunks (replaces atomicAdd, tilespmv_cuda.h:384-390). The
+   band class skips this entirely (its lanes ARE the window's rows).
 """
 from __future__ import annotations
 
@@ -30,10 +37,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lane_plan import (META_LROW, META_RC0, META_ROWS, META_XLOC,
-                        ROW_WINDOW, SPAN_TC, DenseChunks, LanePlan,
-                        SparseChunks)
-from .stream_plan import LANES, SUBS, RW_ROWS, StreamChunks
+from .lane_plan import (DENSE_MROWS, META_LROW, META_XLOC, PANEL_TC,
+                        ROW_WINDOW, BandChunks, DenseChunks, LanePlan,
+                        SparseChunks, sparse_meta_rows)
+from .stream_plan import (LANES, SPAN_ROWS, SUBS, RW_ROWS, XBLOCK_ROWS,
+                          StreamChunks)
 
 _B = 16  # tile edge; kernels are specialized to 16
 
@@ -48,8 +56,6 @@ def _tree_sum(parts):
             nxt.append(parts[-1])
         parts = nxt
     return parts[0]
-
-
 
 
 def _split_dot(a, oh, acc_dtype):
@@ -69,24 +75,41 @@ def _split_dot(a, oh, acc_dtype):
             + jax.lax.dot(a_lo, ohb, preferred_element_type=acc_dtype))
 
 
-def _gather_xg(ci, cbase, x2d_ref, meta_ref, xs_scr, b, t: int, acc_dtype,
-               interpret: bool = False):
-    """Stage chunk `ci`'s x span and build xg (16, T) via a one-hot MXU
-    matmul (`b` = slot within the step's batch)."""
-    xs_scr[b * SPAN_TC:(b + 1) * SPAN_TC, :] = (
-        x2d_ref[pl.ds(cbase[ci], SPAN_TC), :])              # (SPAN_TC, 16)
-    xst = xs_scr[b * SPAN_TC:(b + 1) * SPAN_TC, :].T.astype(acc_dtype)
-    loc = meta_ref[b, META_XLOC]                            # (T,)
-    if interpret:
-        # interpret-mode dots emulate the MXU with a downcast accumulator;
-        # use an exact XLA gather instead
-        return jnp.where(loc[None, :] >= 0,
-                         jnp.take(xst, jnp.maximum(loc, 0), axis=1),
-                         jnp.asarray(0.0, acc_dtype))
-    iota = jax.lax.broadcasted_iota(jnp.int32, (SPAN_TC, t), 0)
-    oh = jnp.where(loc[None, :] == iota, jnp.asarray(1.0, jnp.float32),
-                   jnp.asarray(0.0, jnp.float32))
-    return _split_dot(xst, oh, acc_dtype)                   # (16, T)
+def _split_dot_left(lt, a, acc_dtype):
+    """lt @ a with `lt` an exact 0/1 matrix (split applied to `a`)."""
+    if acc_dtype != jnp.float32:
+        return jax.lax.dot(lt.astype(a.dtype), a, precision=_HIPREC,
+                           preferred_element_type=acc_dtype)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(acc_dtype)).astype(jnp.bfloat16)
+    ltb = lt.astype(jnp.bfloat16)
+    return (jax.lax.dot(ltb, a_hi, preferred_element_type=acc_dtype)
+            + jax.lax.dot(ltb, a_lo, preferred_element_type=acc_dtype))
+
+
+def _gather_xg(panels, meta_ref, b, t: int, k_panels: int, acc_dtype):
+    """Pick xg (16, T) — each tile's 16-value x block — with width-128
+    hardware lane gathers over the step's `k_panels` pre-transposed
+    (16, PANEL_TC) x panels. The panels arrive as pipeline-fetched block
+    operands (scalar-prefetch index maps): dynamic in-kernel VMEM reads
+    cost ~70 ns each on v5e, pipelined fetches are free. Exact in both
+    compiled and interpret mode."""
+    loc = jnp.maximum(meta_ref[b, META_XLOC], 0)            # (T,)
+    ngrp = PANEL_TC // 128
+    xgs = []
+    for g0 in range(0, t, 128):
+        idx = jnp.broadcast_to(loc[g0:g0 + 128][None, :], (_B, 128))
+        out = None
+        for k in range(k_panels):
+            for h in range(ngrp):
+                tk = jnp.take_along_axis(
+                    panels[k][:, h * 128:(h + 1) * 128], idx & 127, axis=1)
+                if out is None:
+                    out = tk
+                else:
+                    out = jnp.where((idx >> 7) == k * ngrp + h, tk, out)
+        xgs.append(out)
+    return jnp.concatenate(xgs, axis=1) if len(xgs) > 1 else xgs[0]
 
 
 def _window_block(yc, meta_ref, b, t: int, acc_dtype,
@@ -113,17 +136,17 @@ def _write_out(i, cfirst, yblk, out_ref):
         out_ref[...] += yblk
 
 
-def _dense_kernel(cbase, cw, cfirst,               # scalar prefetch
-                  x2d_ref, val_ref, meta_ref,      # inputs
-                  out_ref,                         # output
-                  xs_scr,                          # scratch
-                  *, t: int, c_batch: int, acc_dtype,
+def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
+                  *refs,                           # panels, val, meta, out
+                  t: int, k_panels: int, c_batch: int, acc_dtype,
                   interpret: bool = False):
+    panel_refs = refs[:k_panels]
+    val_ref, meta_ref, out_ref = refs[k_panels:]
+    panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
     i = pl.program_id(0)
     blks = []
     for b in range(c_batch):
-        xg = _gather_xg(i * c_batch + b, cbase, x2d_ref, meta_ref, xs_scr,
-                        b, t, acc_dtype, interpret)
+        xg = _gather_xg(panels, meta_ref, b, t, k_panels, acc_dtype)
         # val is j-major: val[b, j] is the contiguous (16_i, T) slab of
         # the tiles' j-th columns
         yc = functools.reduce(
@@ -135,55 +158,124 @@ def _dense_kernel(cbase, cw, cfirst,               # scalar prefetch
     _write_out(i, cfirst, _tree_sum(blks), out_ref)
 
 
-def _sparse_kernel(cbase, cw, cfirst,
-                   x2d_ref, val_ref, meta_ref,
-                   out_ref, xs_scr,
-                   *, width: int, t: int, c_batch: int, acc_dtype,
-                   interpret: bool = False):
+def _sparse_kernel(pb, cw, cfirst,
+                   *refs,      # panels, ltri, val, meta, out
+                   width: int, t: int, k_panels: int, c_batch: int,
+                   acc_dtype, interpret: bool = False):
+    """Packed sparse-entry class: see module doc stage 2. Entry slots are
+    row-sorted with slot 0 a reserved zero, so the 16 per-row sums are
+    boundary differences of one inclusive prefix over slots."""
+    panel_refs = refs[:k_panels]
+    ltri_ref, val_ref, meta_ref, out_ref = refs[k_panels:]
+    panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
     i = pl.program_id(0)
+    W = width
+    ncw = W // 8
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (SUBS, t), 0)
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (_B, t), 0)
     blks = []
     for b in range(c_batch):
-        xg = _gather_xg(i * c_batch + b, cbase, x2d_ref, meta_ref, xs_scr,
-                        b, t, acc_dtype, interpret)
-        v = val_ref[b].astype(acc_dtype)            # (W, T)
-        # unpack the (row<<4|col) bytes from meta words (4 slots per
-        # int32); arithmetic shift then mask keeps byte 3 correct despite
-        # the sign bit
-        rc = jnp.concatenate(
-            [(meta_ref[b, META_RC0 + w // 4][None, :] >> ((w % 4) * 8))
-             & 255 for w in range(width)], axis=0)  # (W, T)
-        row = rc >> 4
-        col = rc & 15
-        # intra-tile x gather: 16-way select sum (one-hot over x block)
-        xv = jnp.zeros((width, t), acc_dtype)
-        for k in range(_B):
-            xv += jnp.where(col == k, xg[k, :][None, :],
-                            jnp.asarray(0.0, acc_dtype))
-        contrib = v * xv                            # (W, T)
-        # intra-tile row reduce: 16-way masked sums
-        rows = [jnp.sum(jnp.where(row == k, contrib,
-                                  jnp.asarray(0.0, acc_dtype)),
-                        axis=0, keepdims=True)
-                for k in range(_B)]
-        yc = jnp.concatenate(rows, axis=0)          # (16, T)
+        xg = _gather_xg(panels, meta_ref, b, t, k_panels, acc_dtype)
+        xga, xgb = xg[:SUBS], xg[SUBS:]
+        # per 8-slot block: decode 4-bit columns (8 nibbles per int32,
+        # one per sublane) and route x by hardware sublane gathers
+        contribs = []
+        for k in range(ncw):
+            word = jnp.broadcast_to(meta_ref[b, 2 + k][None, :], (SUBS, t))
+            c4 = jnp.right_shift(word, iota8 * 4) & 15
+            va = jnp.take_along_axis(xga, c4 & 7, axis=0)
+            vb = jnp.take_along_axis(xgb, c4 & 7, axis=0)
+            xv = jnp.where(c4 < SUBS, va, vb)
+            contribs.append(val_ref[b, k * SUBS:(k + 1) * SUBS]
+                            .astype(acc_dtype) * xv)
+        contrib = jnp.concatenate(contribs, axis=0)        # (W, T)
+        # inclusive prefix over slots: one lower-triangular MXU multiply
+        if interpret:
+            cs = jnp.cumsum(contrib, axis=0)
+        else:
+            cs = _split_dot_left(ltri_ref[...], contrib, acc_dtype)
+        # packed row pointers -> boundary gather: rend[r] = slot of last
+        # entry in rows <= r (0 if none -> cs[0] = 0, slot 0 reserved)
+        rows4 = meta_ref[b, 2 + ncw: 2 + ncw + 4]          # (4, T)
+        rep = jnp.repeat(rows4, 4, axis=0)                 # (16, T)
+        rend = jnp.right_shift(rep, (iota16 % 4) * 8) & 255
+        gh = []
+        for h in range(2):
+            idxh = rend[h * SUBS:(h + 1) * SUBS]
+            out = jnp.take_along_axis(cs[:SUBS], idxh & 7, axis=0)
+            for k in range(1, ncw):
+                sk = jnp.take_along_axis(cs[k * SUBS:(k + 1) * SUBS],
+                                         idxh & 7, axis=0)
+                out = jnp.where((idxh >> 3) == k, sk, out)
+            gh.append(out)
+        g = jnp.concatenate(gh, axis=0)                    # (16, T)
+        gprev = jnp.concatenate(
+            [jnp.zeros((1, t), acc_dtype), g[: _B - 1]], axis=0)
+        yc = g - gprev
         blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
                                   interpret))
     _write_out(i, cfirst, _tree_sum(blks), out_ref)
 
 
-def _grid_spec(nsteps, tensor_specs, x_dtype=jnp.float32,
-               c_batch: int = 1):
+def _band_kernel(pb, cw, cfirst,
+                 *refs,          # panels, val, bloc, out
+                 c_cols: int, k_panels: int, acc_dtype,
+                 interpret: bool = False):
+    """Brick class: lane = tile-row, so there is no index decode and no
+    output routing — C x 16 pure FMA steps against static panel rows
+    picked by one radix lane-gather per brick column block."""
+    panel_refs = refs[:k_panels]
+    val_ref, bloc_ref, out_ref = refs[k_panels:]
+    panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
+    i = pl.program_id(0)
+    T = ROW_WINDOW
+    bloc = bloc_ref[0, 0]                       # (T,) int32
+    ngrp = PANEL_TC // 128
+    acc = jnp.zeros((_B, T), acc_dtype)
+    for cb in range(c_cols):
+        loc = bloc + cb
+        xqs = []
+        for g0 in range(0, T, 128):
+            idx = jnp.broadcast_to(loc[g0:g0 + 128][None, :], (_B, 128))
+            out = None
+            for k in range(k_panels):
+                for h in range(ngrp):
+                    tk = jnp.take_along_axis(
+                        panels[k][:, h * 128:(h + 1) * 128], idx & 127,
+                        axis=1)
+                    if out is None:
+                        out = tk
+                    else:
+                        out = jnp.where((idx >> 7) == k * ngrp + h, tk,
+                                        out)
+            xqs.append(out)
+        xq = jnp.concatenate(xqs, axis=1)       # (16, T)
+        for j in range(_B):
+            acc = acc + (val_ref[0, cb, j].astype(acc_dtype)
+                         * xq[j, :][None, :])
+    _write_out(i, cfirst, acc, out_ref)
+
+
+def _panel_spec(k: int, k_panels: int):
+    """BlockSpec fetching the step's k-th x panel by scalar-prefetch id
+    (double-buffered by the Mosaic pipeline)."""
+    return pl.BlockSpec(
+        (1, _B, PANEL_TC),
+        lambda i, pb, cw, cfirst, k=k: (pb[i * k_panels + k], 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _grid_spec(nsteps, k_panels, tensor_specs, extra_vmem: int = 0):
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nsteps,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + tensor_specs,
+        in_specs=([_panel_spec(k, k_panels) for k in range(k_panels)]
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * extra_vmem
+                  + tensor_specs),
         out_specs=pl.BlockSpec(
             (_B, ROW_WINDOW),
-            lambda i, cbase, cw, cfirst: (0, cw[i]),
+            lambda i, pb, cw, cfirst: (0, cw[i]),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((c_batch * SPAN_TC, _B), x_dtype),
-        ],
     )
 
 
@@ -197,87 +289,107 @@ def _chunk_spec(shape_tail, lead: int = 1):
         memory_space=pltpu.VMEM)
 
 
-def dense_class_call(d: DenseChunks, x2d: jax.Array, n_windows: int,
+def dense_class_call(d: DenseChunks, x_panels: jax.Array, n_windows: int,
                      interpret: bool = False) -> jax.Array:
     """Run the dense-tile class; returns y2dT (16, n_windows*ROW_WINDOW)."""
-    nsteps = d.val.shape[0] // d.c_batch
-    acc_dtype = jnp.float32 if x2d.dtype != jnp.float64 else jnp.float64
+    acc_dtype = (jnp.float32 if x_panels.dtype != jnp.float64
+                 else jnp.float64)
     kernel = functools.partial(_dense_kernel, t=d.t_lanes,
-                               c_batch=d.c_batch,
+                               k_panels=d.k_panels, c_batch=d.c_batch,
                                acc_dtype=acc_dtype, interpret=interpret)
     tensor_specs = [
-        _chunk_spec((_B, _B, d.t_lanes), lead=d.c_batch),     # val
-        _chunk_spec((META_ROWS, d.t_lanes), lead=d.c_batch),  # meta
+        _chunk_spec((_B, _B, d.t_lanes), lead=d.c_batch),        # val
+        _chunk_spec((DENSE_MROWS, d.t_lanes), lead=d.c_batch),   # meta
     ]
+    nsteps = d.cw.shape[0]
     return pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(nsteps, tensor_specs, x2d.dtype, d.c_batch),
+        grid_spec=_grid_spec(nsteps, d.k_panels, tensor_specs),
         out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                        acc_dtype),
         interpret=interpret,
-    )(d.cbase, d.cw, d.cfirst, x2d, d.val, d.meta)
+    )(d.pb, d.cw, d.cfirst, *([x_panels] * d.k_panels), d.val, d.meta)
 
 
-def sparse_class_call(s: SparseChunks, x2d: jax.Array, n_windows: int,
+def sparse_class_call(s: SparseChunks, x_panels: jax.Array,
+                      n_windows: int,
                       interpret: bool = False) -> jax.Array:
     """Run one sparse-entry class; returns y2dT (16, n_windows*RW)."""
-    nsteps = s.val.shape[0] // s.c_batch
-    acc_dtype = jnp.float32 if x2d.dtype != jnp.float64 else jnp.float64
+    acc_dtype = (jnp.float32 if x_panels.dtype != jnp.float64
+                 else jnp.float64)
+    mrows = sparse_meta_rows(s.width)
     kernel = functools.partial(_sparse_kernel, width=s.width, t=s.t_lanes,
-                               c_batch=s.c_batch,
+                               k_panels=s.k_panels, c_batch=s.c_batch,
                                acc_dtype=acc_dtype, interpret=interpret)
     tensor_specs = [
         _chunk_spec((s.width, s.t_lanes), lead=s.c_batch),    # val
-        _chunk_spec((META_ROWS, s.t_lanes), lead=s.c_batch),  # meta
+        _chunk_spec((mrows, s.t_lanes), lead=s.c_batch),      # meta
     ]
+    ltri = jnp.asarray(np.tril(np.ones((s.width, s.width), np.float32)))
+    nsteps = s.cw.shape[0]
     return pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(nsteps, tensor_specs, x2d.dtype, s.c_batch),
+        grid_spec=_grid_spec(nsteps, s.k_panels, tensor_specs,
+                             extra_vmem=1),
         out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                        acc_dtype),
         interpret=interpret,
-    )(s.cbase, s.cw, s.cfirst, x2d, s.val, s.meta)
+    )(s.pb, s.cw, s.cfirst, *([x_panels] * s.k_panels), ltri, s.val,
+      s.meta)
+
+
+def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
+                    interpret: bool = False) -> jax.Array:
+    """Run the brick class; returns y2dT (16, n_windows*ROW_WINDOW)."""
+    acc_dtype = (jnp.float32 if x_panels.dtype != jnp.float64
+                 else jnp.float64)
+    kernel = functools.partial(_band_kernel, c_cols=bd.c_cols,
+                               k_panels=bd.k_panels,
+                               acc_dtype=acc_dtype, interpret=interpret)
+    nsteps = bd.cw.shape[0]
+    tensor_specs = [
+        _chunk_spec((bd.c_cols, _B, _B, ROW_WINDOW), lead=1),    # val
+        _chunk_spec((1, ROW_WINDOW), lead=1),                    # bloc
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=_grid_spec(nsteps, bd.k_panels, tensor_specs),
+        out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
+                                       acc_dtype),
+        interpret=interpret,
+    )(bd.pb, bd.cw, bd.cfirst, *([x_panels] * bd.k_panels), bd.val,
+      bd.bloc)
 
 
 def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch
-                   x2d_ref, ltri_ref, val_ref, vidx_ref,
-                   rend_ref, rstart_ref, rsrc_ref,   # inputs
+                   x2d_ref, ltri_ref, val_ref, vidx_ref, planes_ref,
                    out_ref,                          # output
-                   span_scr,                         # scratch
-                   *, rounds: int, s_batch: int, subwin_rows: int,
-                   acc_dtype, interpret: bool = False):
-    """One step = `s_batch` (8,128) entry slabs: hardware-gather x,
-    prefix-sum by one batched matmul, boundary-gather scatter (see
-    stream_plan.py module doc). Slab bodies are independent chains so
-    Mosaic can interleave their gather latencies."""
+                   *, s_batch: int, rounds: int, acc_dtype,
+                   interpret: bool = False):
+    """One step = `s_batch` (8,128) entry slabs: hardware-gather x per
+    slab superspan, prefix-sum by one batched matmul, then 3-gather
+    boundary-difference scatter rounds (see stream_plan.py module doc).
+    Slab bodies are independent chains so Mosaic can interleave their
+    gather latencies."""
     i = pl.program_id(0)
-    span_rows = SUBS * subwin_rows
-    for s in range(s_batch):
-        span_scr[s * span_rows:(s + 1) * span_rows, :] = (
-            x2d_ref[pl.ds(sbase[i * s_batch + s], span_rows), :])
-    spans = span_scr[...]
-
     contribs = []
     for s in range(s_batch):
-        span = spans[s * span_rows:(s + 1) * span_rows]
+        si = i * s_batch + s
+        span = x2d_ref[pl.ds(sbase[si], SPAN_ROWS), :]   # (64, 128)
         vidx = vidx_ref[s].astype(jnp.int32)   # stored int16
-        hi = vidx >> 7                         # [0, subwin_rows)
+        hi = (vidx >> 7) & 7                   # row-of-8 in the x window
         lo = vidx & (LANES - 1)
+        # ONE (64,128) lane gather picks, for every window, all 8
+        # candidate x rows at the entry's lane; a per-window sublane
+        # gather then selects the entry's row (width-64 lane gathers are
+        # native: R in {8,16,32,64})
+        u64 = jnp.take_along_axis(span, jnp.repeat(lo, XBLOCK_ROWS,
+                                                   axis=0), axis=1)
         rows = []
         for w in range(SUBS):
-            blk = span[subwin_rows * w: subwin_rows * (w + 1), :]
-            low = jnp.broadcast_to(lo[w: w + 1],
-                                   (subwin_rows, LANES))
+            u = u64[XBLOCK_ROWS * w: XBLOCK_ROWS * (w + 1), :]
             hiw = jnp.broadcast_to(hi[w: w + 1], (SUBS, LANES))
-            u = jnp.take_along_axis(blk, low, axis=1)
-            if subwin_rows == SUBS:
-                vv = jnp.take_along_axis(u, hiw, axis=0)
-            else:
-                # sublane gathers are radix 8: select between halves
-                h7 = hiw & 7
-                va = jnp.take_along_axis(u[:SUBS], h7, axis=0)
-                vb = jnp.take_along_axis(u[SUBS: 2 * SUBS], h7, axis=0)
-                vv = jnp.where(hiw < SUBS, va, vb)
+            vv = jnp.take_along_axis(u, hiw, axis=0)
             rows.append(vv[0:1])             # all rows equal
         xv = jnp.concatenate(rows, axis=0).astype(acc_dtype)
         contribs.append(val_ref[s].astype(acc_dtype) * xv)
@@ -308,15 +420,18 @@ def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch
     ys = []
     for s in range(s_batch):
         cs = csum[s * SUBS:(s + 1) * SUBS]
-        # tpu.dynamic_gather consumes int8 indices directly
-        rend = rend_ref[s]                        # (R*8, 128) int8
-        rstart = rstart_ref[s]
-        rsrc = rsrc_ref[s]
+        pe = planes_ref[s]                 # (R*24, 128) int8
+        # 3 hardware gathers per round: run ends, run starts (lane
+        # gathers of the prefix), then the rsrc sublane gather routes
+        # each target row at its source's boundary difference
+        # (tpu.dynamic_gather takes the int8 planes directly)
         for t in range(rounds):
-            sl = slice(t * SUBS, (t + 1) * SUBS)
-            ue = jnp.take_along_axis(cs, rend[sl], axis=1)
-            us = jnp.take_along_axis(cs, rstart[sl], axis=1)
-            ys.append(jnp.take_along_axis(ue - us, rsrc[sl], axis=0))
+            base = t * 3 * SUBS
+            ue = jnp.take_along_axis(cs, pe[base: base + SUBS], axis=1)
+            us = jnp.take_along_axis(cs, pe[base + SUBS: base + 2 * SUBS],
+                                     axis=1)
+            ys.append(jnp.take_along_axis(
+                ue - us, pe[base + 2 * SUBS: base + 3 * SUBS], axis=0))
     y = _tree_sum(ys)
 
     @pl.when(cfirst[i] == 1)
@@ -338,9 +453,8 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                  else jnp.float64)
     ltri = jnp.asarray(
         np.triu(np.ones((LANES, LANES), np.float32)).astype(acc_dtype))
-    kernel = functools.partial(_stream_kernel, rounds=sc.rounds,
-                               s_batch=S, subwin_rows=sc.subwin_rows,
-                               acc_dtype=acc_dtype,
+    kernel = functools.partial(_stream_kernel, s_batch=S,
+                               rounds=sc.rounds, acc_dtype=acc_dtype,
                                interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -350,17 +464,12 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ltri
             _chunk_spec((SUBS, LANES), lead=S),      # val
             _chunk_spec((SUBS, LANES), lead=S),      # vidx
-            _chunk_spec((sc.rounds * SUBS, LANES), lead=S),   # rend
-            _chunk_spec((sc.rounds * SUBS, LANES), lead=S),   # rstart
-            _chunk_spec((sc.rounds * SUBS, LANES), lead=S),   # rsrc
+            _chunk_spec((sc.planes.shape[1], LANES), lead=S),  # planes
         ],
         out_specs=pl.BlockSpec(
             (SUBS, LANES),
             lambda i, sbase, cw, cfirst: (0, cw[i]),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((S * SUBS * sc.subwin_rows, LANES), x2d128.dtype),
-        ],
     )
     return pl.pallas_call(
         kernel,
@@ -368,22 +477,32 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
         out_shape=jax.ShapeDtypeStruct((SUBS, n_windows * LANES), acc_dtype),
         interpret=interpret,
     )(sc.sbase, sc.cw, sc.cfirst, x2d128, ltri, sc.val, sc.vidx,
-      sc.rend, sc.rstart, sc.rsrc)
+      sc.planes)
+
+
+def x_to_panels(plan: LanePlan, x: jax.Array) -> jax.Array:
+    """x as (n_panels, 16, PANEL_TC) transposed panels: [p, j, c] =
+    x[p*PANEL_TC*16 + c*16 + j] (full-lane VMEM layout; one XLA transpose
+    per call)."""
+    b = plan.tile_size
+    x_pad = jnp.zeros(plan.x_padded_len, dtype=x.dtype).at[: plan.n].set(x)
+    return x_pad.reshape(plan.n_panels, PANEL_TC, b).transpose(0, 2, 1)
 
 
 def spmv_pallas(plan: LanePlan, x: jax.Array,
                 interpret: bool = False) -> jax.Array:
     """y = A @ x with the Pallas engines. Jittable."""
-    b = plan.tile_size
-    x_pad = jnp.zeros(plan.x_padded_len, dtype=x.dtype).at[: plan.n].set(x)
-    x2d = x_pad.reshape(-1, b)
+    x_panels = x_to_panels(plan, x)
 
     parts = []
     if plan.dense is not None:
-        parts.append(dense_class_call(plan.dense, x2d, plan.n_windows,
+        parts.append(dense_class_call(plan.dense, x_panels, plan.n_windows,
                                       interpret=interpret))
+    if plan.band is not None:
+        parts.append(band_class_call(plan.band, x_panels, plan.n_windows,
+                                     interpret=interpret))
     for s in plan.sparses:
-        parts.append(sparse_class_call(s, x2d, plan.n_windows,
+        parts.append(sparse_class_call(s, x_panels, plan.n_windows,
                                        interpret=interpret))
     if parts:
         y2dt = functools.reduce(jnp.add, parts)
@@ -404,6 +523,6 @@ def spmv_pallas(plan: LanePlan, x: jax.Array,
              .at[: ys_flat.shape[0]].add(ys_flat))
 
     if plan.residual.val.shape[0]:
-        contrib = plan.residual.val * x_pad[plan.residual.col]
+        contrib = plan.residual.val * x[plan.residual.col]
         y = y.at[plan.residual.row].add(contrib)
     return y[: plan.m].astype(x.dtype)

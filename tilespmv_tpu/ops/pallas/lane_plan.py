@@ -5,14 +5,15 @@ loops on TPU (measured ~6.5 ns/element on v5e — a thousand times slower
 than streaming). The Pallas engines therefore need a layout where *nothing*
 is dynamically indexed per element:
 
-* tiles are processed in chunks of T = 128, with the tile index in the
+* tiles are processed in chunks of T tiles, with the tile index in the
   **lane** dimension — every per-tile quantity is a (.., T) array and all
   per-tile math is a full-width VPU op;
 * within each output row-window, tiles are **sorted by tile-column** and
-  chunks are cut so that one chunk's tile-columns fit a contiguous span of
-  SPAN_TC tile-columns (256 -> a 16 KB f32 span). The x-block gather then
-  costs one dynamic contiguous VMEM copy of the span plus one one-hot
-  (SPAN_TC, T) matmul on the MXU — no per-element gathers;
+  packed into grid steps that reference at most K distinct 256-tile-column
+  x *panels* ((16, 256) pre-transposed blocks, pipeline-fetched by
+  scalar-prefetch index maps). The x-block gather is then width-128
+  hardware lane gathers (`tpu.dynamic_gather`) — no per-element gathers
+  and no in-kernel dynamic reads;
 * the y scatter becomes a **one-hot aggregation matmul**: chunks are grouped
   by output row-window (ROW_WINDOW tile-rows); the chunk's (16, T) tile
   results are multiplied by a (T, ROW_WINDOW) one-hot row matrix and
@@ -21,16 +22,31 @@ is dynamically indexed per element:
 
 This mirrors the reference's warp-per-tile-row-chunk structure
 (tilespmv_cpu.h:68-118, tilespmv_cuda.h:41-47) rebuilt for a VLIW vector
-machine: the warp becomes the 128-lane chunk, shared-memory staging becomes
+machine: the warp becomes the lane chunk, shared-memory staging becomes
 the VMEM x-span, and atomics become one-hot matmul aggregation.
 
-The default Pallas path **densifies** every non-COO tile to a full 16x16
-block (the `dense` class); COO tiles run in a sparse-entry class (W x T
-value / packed-index streams — the on-chip residual engine, the CSR5
-analog). The per-tile *storage* formats (TileMatrix) are unchanged — this
-is an execution-time re-mapping driven by the TPU cost model (VPU decode
-cost vs HBM traffic), the same selector idea as reference csr2tile.h:108-328
-applied to different hardware.
+Execution-time format routing (the TPU analog of the reference's per-tile
+format dispatch, tilespmv_cuda.h:394-792): every non-COO tile is routed by
+its stored-entry count into either
+
+* the **dense class** — full (16, 16) value blocks, 16 VPU FMA steps; used
+  for tiles with >= DENSE_MIN_NNZ entries, where streaming the padded
+  block is cheaper than decoding indices; or
+* a **packed sparse-entry class** of width W in W_CHOICES — W value slots
+  per tile (slot 0 reserved zero), 4-bit intra-tile column indices packed
+  8 per int32 word (the nibble codec of reference encode.h:29-50, packed
+  deeper for HBM traffic), and a 16-entry packed row-pointer plane. The
+  kernel gathers x per slot by hardware sublane gathers, forms the
+  row sums with one triangular-matrix MXU prefix multiply plus a packed
+  boundary gather — ~5 bytes/nnz instead of the 1 KB densified block
+  (this is the device-side tile-CSR/ELL execution the reference runs at
+  tilespmv_cuda.h:531-605, without warp shuffles).
+
+COO tiles run in the entry-level stream engine (stream_plan.py, the CSR5
+analog) or — when dense enough per tile — in a sparse class. The per-tile
+*storage* formats (TileMatrix) are unchanged — this is an execution-time
+re-mapping driven by the TPU cost model, the same selector idea as
+reference csr2tile.h:108-328 applied to different hardware.
 """
 from __future__ import annotations
 
@@ -48,18 +64,45 @@ from .stream_plan import (MAX_SPAN_ROWS, RW_ROWS, StreamChunks,
 
 T_CHOICES = (128, 256, 512)   # tiles per chunk (lane-dim width classes)
 STREAM_MIN_ENTRIES = 2048     # below this the per-tile COO class wins
-SPAN_TC = 256          # tile-columns per chunk's x span (256*16 x values)
+PANEL_TC = 256         # tile-columns per x panel (one (16, 256) VMEM block)
+K_CHOICES = (1, 2, 4, 8)      # x panels addressable by one chunk
 ROW_WINDOW = 256       # tile-rows per output block (16 x 256 floats = 16KB)
 
-# rows of the packed per-tile `meta` operand (shape (nchunks, 8, T) int32 —
-# 8 sublanes to satisfy the TPU (8, 128) block-divisibility constraint)
-META_XLOC = 0   # tilecol - span base, in [0, SPAN_TC); -1 for inert lanes
-META_LROW = 1   # tilerow within the output row-window
-META_RC0 = 4    # sparse class: rows 4..7 hold the W=16 packed (row<<4|col)
-                # bytes, 4 slots per int32 word (slot w -> word w//4,
-                # byte w%4) — the 4-bit codec of core/encode.py, packed
-                # twice more for HBM traffic
-META_ROWS = 8
+# sparse-entry class widths (slot 0 is a reserved zero pad, so a width-W
+# class holds tiles with <= W-1 stored entries); tiles at or above
+# DENSE_MIN_NNZ stored entries densify instead (the measured crossover
+# where streaming the 1 KB block beats index decode)
+W_CHOICES = (16, 24, 32, 48, 64, 96)
+DENSE_MIN_NNZ = 96
+SPARSE_T = 128         # sparse classes pin T=128 (sublane-gather shapes)
+MIN_CLASS_TILES = 512  # merge thinner classes upward (per-call overhead)
+# COO tiles go to a sparse class instead of the stream engine when their
+# mean entry count crosses this (measured: stream wins near 1 nnz/tile)
+COO_SPARSE_MIN_AVG = 4.0
+
+# dense-class meta rows (int32): x span location and window-local tile row
+META_XLOC = 0
+META_LROW = 1
+DENSE_MROWS = 2
+
+# band (brick) class: tile-row stripes whose non-COO tiles span at most
+# BAND_MAX_COLS consecutive tile-columns become one dense (16, 16*C)
+# brick with lane = tile-row. The kernel then needs NO index decode, NO
+# x gather beyond C static panel row slices, and NO output routing
+# (lanes ARE the window's tile-rows) — pure HBM streaming. This is the
+# diagonal/DIA-style execution class; the reference has no counterpart
+# (its dense format stops at single 16x16 tiles, csr2tile.h:549-567).
+BAND_MAX_COLS = 8
+BAND_MIN_STRIPE_FILL = 0.30   # stripe nnz / (ext*256) to qualify
+BAND_MIN_CLASS_FILL = 0.30    # selected nnz / (nchunks*C*256*T)
+BAND_MIN_WINDOW_FRAC = 0.7    # fraction of windows with a band chunk
+BAND_K = 4                    # panels per band step
+
+
+def sparse_meta_rows(width: int) -> int:
+    """Meta rows of a width-W sparse class: xloc, lrow, W/8 packed-nibble
+    column rows, 4 packed-byte row-pointer rows."""
+    return 2 + width // 8 + 4
 
 
 @jax.tree_util.register_dataclass
@@ -68,29 +111,51 @@ class DenseChunks:
     """Densified-tile class: (nchunks, 16, 16, T) value blocks.
     `cw`/`cfirst` are per grid *step* (`c_batch` same-window chunks)."""
     val: Any       # (nchunks, 16, 16, T)
-    meta: Any      # (nchunks, 8, T) int32 — META_* rows
-    cbase: Any     # (nchunks,) int32 — x span base (tile-column units)
+    meta: Any      # (nchunks, DENSE_MROWS, T) int32
+    pb: Any        # (nchunks*K,) int32 — x panel ids (flat: 2-D scalar
+    #                prefetch arrays pad to 128 lanes in SMEM)
     cw: Any        # (nsteps,) int32 — output window id
     cfirst: Any    # (nsteps,) int32 — 1 if first step of its window
 
     t_lanes: int = dataclasses.field(metadata=dict(static=True))
+    k_panels: int = dataclasses.field(default=1,
+                                      metadata=dict(static=True))
     c_batch: int = dataclasses.field(default=1,
                                      metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
-class SparseChunks:
-    """Sparse-entry class: (nchunks, W, T) values; the packed (row<<4|col)
-    bytes live in meta rows META_RC0.. (4 slots per int32)."""
-    val: Any       # (nchunks, W, T)
-    meta: Any      # (nchunks, 8, T) int32
-    cbase: Any     # (nchunks,) int32
+class BandChunks:
+    """Brick class: one chunk per output window, lane = tile-row; val
+    holds C j-major (16, T) column slabs per brick."""
+    val: Any       # (nchunks, C, 16, 16, T): [ci, col_blk, j, i, t]
+    bloc: Any      # (nchunks, 1, T) int32: panel-slot*256 + col offset
+    pb: Any        # (nchunks*K,) int32 panel ids
     cw: Any        # (nchunks,) int32
     cfirst: Any    # (nchunks,) int32
 
+    c_cols: int = dataclasses.field(metadata=dict(static=True))
+    k_panels: int = dataclasses.field(default=BAND_K,
+                                      metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseChunks:
+    """Packed sparse-entry class: (nchunks, W, T) value slots (slot 0
+    reserved zero, entries row-sorted), 4-bit columns and row pointers
+    packed into the meta rows (see sparse_meta_rows)."""
+    val: Any       # (nchunks, W, T)
+    meta: Any      # (nchunks, sparse_meta_rows(W), T) int32
+    pb: Any        # (nchunks*K,) int32
+    cw: Any        # (nsteps,) int32
+    cfirst: Any    # (nsteps,) int32
+
     width: int = dataclasses.field(metadata=dict(static=True))
     t_lanes: int = dataclasses.field(metadata=dict(static=True))
+    k_panels: int = dataclasses.field(default=1,
+                                      metadata=dict(static=True))
     c_batch: int = dataclasses.field(default=1,
                                      metadata=dict(static=True))
 
@@ -99,7 +164,8 @@ class SparseChunks:
 @dataclasses.dataclass(frozen=True)
 class LanePlan:
     dense: Optional[DenseChunks]
-    sparses: tuple  # of SparseChunks
+    band: Optional[BandChunks]
+    sparses: tuple  # of SparseChunks, ascending width
     residual: ResidualEngine  # leftover entries (HYB overflow / fallback)
     stream: Optional[StreamChunks]  # entry-level engine (COO tiles)
 
@@ -112,9 +178,12 @@ class LanePlan:
     n_windows: int = dataclasses.field(metadata=dict(static=True))
 
     @property
+    def n_panels(self) -> int:
+        return max(1, -(-self.tilen // PANEL_TC))
+
+    @property
     def x_padded_len(self) -> int:
-        # extra SPAN_TC tile-columns so a span slice never runs off the end
-        return (self.tilen + SPAN_TC) * self.tile_size
+        return self.n_panels * PANEL_TC * self.tile_size
 
     @property
     def y_padded_len(self) -> int:
@@ -139,63 +208,64 @@ class LanePlan:
         if self.dense is not None:
             d = self.dense
             total += nbytes(d.val) + nbytes(d.meta)
+        if self.band is not None:
+            total += nbytes(self.band.val) + nbytes(self.band.bloc)
         for s in self.sparses:
             total += nbytes(s.val) + nbytes(s.meta)
         if self.stream is not None:
             st = self.stream
-            total += (nbytes(st.val) + nbytes(st.vidx) + nbytes(st.rend)
-                      + nbytes(st.rstart) + nbytes(st.rsrc))
+            total += (nbytes(st.val) + nbytes(st.vidx)
+                      + nbytes(st.planes))
         total += (nbytes(self.residual.val) + nbytes(self.residual.row)
                   + nbytes(self.residual.col))
         total += self.x_padded_len * 4 + self.m * 4
         return total
 
 
-def _densify_tiles(tm: TileMatrix):
-    """All non-COO tiles as (nt, B, B) dense blocks + (trow, tcol),
-    sorted by (trow, tcol)."""
-    b = tm.config.tile_size
-    parts = []
+def _expand(ptr):
+    sizes = np.diff(ptr)
+    owner = np.repeat(np.arange(sizes.shape[0]), sizes)
+    off = np.arange(int(ptr[-1])) - ptr[owner]
+    return owner, off
+
+
+def _all_entries(tm: TileMatrix):
+    """Every non-COO tile's stored entries as intra-tile triplets.
+
+    Returns (trow, tcol, counts, r, c, v) with tiles sorted by
+    (trow, tcol) and entries grouped per tile, sorted by (row, col).
+    ELL/HYB padding slots are kept (zero value at column 0) — they cost a
+    slot but keep the stored-entry semantics of the reference layouts
+    (csr2tile.h:485-548)."""
+    parts = []   # (trow, tcol, owner, r, c, v) per bucket
 
     def geom(tile_ids):
         trow = tm.tile_rowidx[tile_ids].astype(np.int64)
         tcol = tm.tile_columnidx[tile_ids].astype(np.int64)
         return trow, tcol
 
-    def expand(ptr):
-        sizes = np.diff(ptr)
-        owner = np.repeat(np.arange(sizes.shape[0]), sizes)
-        off = np.arange(int(ptr[-1])) - ptr[owner]
-        return owner, off
-
     bk = tm.dns
     if bk.num_tiles:
         trow, tcol = geom(bk.tile_ids)
         rowlen = tm.rowlen(trow)
-        owner, off = expand(bk.ptr)
-        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
-        blocks[owner, off % rowlen[owner], off // rowlen[owner]] = bk.val
-        parts.append((trow, tcol, blocks))
+        owner, off = _expand(bk.ptr)
+        parts.append((trow, tcol, owner, off % rowlen[owner],
+                      off // rowlen[owner], bk.val))
 
     bk = tm.csr
     if bk.num_tiles:
         trow, tcol = geom(bk.tile_ids)
-        owner, _ = expand(bk.nnz_ptr)
-        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
-        blocks[owner, bk.row, bk.col] = bk.val
-        parts.append((trow, tcol, blocks))
+        owner, _ = _expand(bk.nnz_ptr)
+        parts.append((trow, tcol, owner, bk.row.astype(np.int64),
+                      bk.col.astype(np.int64), bk.val))
 
     bk = tm.ell
     if bk.num_tiles:
         trow, tcol = geom(bk.tile_ids)
         rowlen = tm.rowlen(trow)
-        owner, off = expand(bk.ptr)
-        ri = off % rowlen[owner]
-        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
-        # padded slots carry val 0 at col 0 — adding (not assigning) keeps
-        # a real (ri, 0) entry intact
-        np.add.at(blocks, (owner, ri, bk.col.astype(np.int64)), bk.val)
-        parts.append((trow, tcol, blocks))
+        owner, off = _expand(bk.ptr)
+        parts.append((trow, tcol, owner, off % rowlen[owner],
+                      bk.col.astype(np.int64), bk.val))
 
     # HYB: ELL part only (overflow entries live in the residual, like the
     # reference's fused kernel, tilespmv_cuda.h:635-660)
@@ -203,45 +273,72 @@ def _densify_tiles(tm: TileMatrix):
     if bk.num_tiles:
         trow, tcol = geom(bk.tile_ids)
         rowlen = tm.rowlen(trow)
-        owner, off = expand(bk.ell_ptr)
-        ri = off % rowlen[owner]
-        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
-        np.add.at(blocks, (owner, ri, bk.ell_col.astype(np.int64)),
-                  bk.ell_val)
-        parts.append((trow, tcol, blocks))
+        owner, off = _expand(bk.ell_ptr)
+        parts.append((trow, tcol, owner, off % rowlen[owner],
+                      bk.ell_col.astype(np.int64), bk.ell_val))
 
     bk = tm.dnsrow
     if bk.num_tiles:
         trow, tcol = geom(bk.tile_ids)
         collen = tm.collen(tcol)
-        owner, off = expand(bk.ptr)
+        owner, off = _expand(bk.ptr)
         rank = off // collen[owner]
         ci = off % collen[owner]
         ri = bk.row_ids[bk.row_ptr[owner] + rank].astype(np.int64)
-        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
-        blocks[owner, ri, ci] = bk.val
-        parts.append((trow, tcol, blocks))
+        parts.append((trow, tcol, owner, ri, ci, bk.val))
 
     bk = tm.dnscol
     if bk.num_tiles:
         trow, tcol = geom(bk.tile_ids)
         rowlen = tm.rowlen(trow)
-        owner, off = expand(bk.ptr)
+        owner, off = _expand(bk.ptr)
         rank = off // rowlen[owner]
         ri = off % rowlen[owner]
         ci = bk.col_ids[bk.col_ptr[owner] + rank].astype(np.int64)
-        blocks = np.zeros((bk.num_tiles, b, b), np.float64)
-        blocks[owner, ri, ci] = bk.val
-        parts.append((trow, tcol, blocks))
+        parts.append((trow, tcol, owner, ri, ci, bk.val))
 
     if not parts:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
-                np.zeros((0, b, b), np.float64))
-    trow = np.concatenate([p[0] for p in parts])
-    tcol = np.concatenate([p[1] for p in parts])
-    blocks = np.concatenate([p[2] for p in parts])
-    order = np.lexsort((tcol, trow))
-    return trow[order], tcol[order], blocks[order]
+        z = np.zeros(0, np.int64)
+        return z, z, z, z, z, np.zeros(0, np.float64)
+
+    ntiles = 0
+    own_all, tr_all, tc_all, r_all, c_all, v_all = [], [], [], [], [], []
+    for trow, tcol, owner, r, c, v in parts:
+        own_all.append(owner + ntiles)
+        tr_all.append(trow)
+        tc_all.append(tcol)
+        r_all.append(r)
+        c_all.append(c)
+        v_all.append(v.astype(np.float64))
+        ntiles += trow.shape[0]
+    trow = np.concatenate(tr_all)
+    tcol = np.concatenate(tc_all)
+    owner = np.concatenate(own_all)
+    r = np.concatenate(r_all)
+    c = np.concatenate(c_all)
+    v = np.concatenate(v_all)
+
+    # sort tiles by (trow, tcol); entries by (tile, row, col)
+    order_t = np.lexsort((tcol, trow))
+    rank_t = np.empty(ntiles, np.int64)
+    rank_t[order_t] = np.arange(ntiles)
+    trow, tcol = trow[order_t], tcol[order_t]
+    counts = np.bincount(rank_t[owner], minlength=ntiles)
+    order_e = np.lexsort((c, r, rank_t[owner]))
+    return trow, tcol, counts, r[order_e], c[order_e], v[order_e]
+
+
+def _densify(trow, tcol, counts, r, c, v, b: int):
+    """(nt, b, b) dense blocks from per-tile triplets (tiles stay in
+    order)."""
+    nt = trow.shape[0]
+    owner = np.repeat(np.arange(nt), counts)
+    blocks = np.zeros((nt, b, b), np.float64)
+    # np.add (not assign): ELL pad slots share (r=pad, c=0) with real
+    # entries only when the real entry also has value there; adding keeps
+    # explicit zeros harmless
+    np.add.at(blocks, (owner, r, c), v)
+    return blocks
 
 
 # measured v5e constants driving the chunk-batch cost model: per-grid-step
@@ -250,24 +347,45 @@ STEP_FIXED_S = 0.25e-6
 HBM_BPS = 800e9
 
 
+def _window_stats(trow, tcol):
+    """Per output window: tile count and distinct x-panel count."""
+    win = trow // ROW_WINDOW
+    key = win * (1 << 24) + (tcol >> 8)          # (window, panel)
+    cnt = np.unique(win, return_counts=True)[1].astype(np.float64)
+    wp = np.unique(key) >> 24
+    panels = np.unique(wp, return_counts=True)[1].astype(np.float64)
+    return cnt, panels
+
+
+def _pick_k(trow, tcol, cap_tiles) -> int:
+    """Panels per step: enough that step cutting is count-limited, not
+    panel-limited (a cap_tiles-tile run covers ~cap/tiles-per-panel
+    panels). Panel fetches ride the Pallas pipeline, so larger K costs
+    only gather radix (2 lane gathers per panel per 128 lanes)."""
+    cnt, panels = _window_stats(trow, tcol)
+    per_panel = max(1.0, float(cnt.sum() / panels.sum()))
+    need = cap_tiles / per_panel + 1.0
+    for k in K_CHOICES:
+        if k >= need:
+            return k
+    return K_CHOICES[-1]
+
+
 def _pick_cb(trow: np.ndarray, tcol: np.ndarray, tilem: int,
-             t_lanes: int) -> int:
+             t_lanes: int, k_panels: int, chunk_bytes: int) -> int:
     """Chunks per grid step. Batching amortizes the ~0.25 us per-step
     fixed cost, but each window's chunk count is padded UP to a multiple
     of c_batch and every padding chunk streams a full zero val block — so
     pick the batch by minimizing (step fixed cost + padding bytes) over
     the per-window chunk counts, not by a blind power-of-2 fit."""
-    win = trow // ROW_WINDOW
-    uw, start = np.unique(win, return_index=True)
-    end = np.append(start[1:], trow.shape[0])
-    cnt = (end - start).astype(np.float64)
-    ext = (np.maximum.reduceat(tcol, start)
-           - np.minimum.reduceat(tcol, start) + 1)
-    nch = np.maximum(np.ceil(ext / SPAN_TC), np.ceil(cnt / t_lanes))
-    chunk_bytes = (16 * 16 * t_lanes + META_ROWS * t_lanes) * 4
+    cnt, panels = _window_stats(trow, tcol)
+    ln = max(len(cnt), len(panels))
+    cnt = np.pad(cnt, (0, ln - len(cnt)))
+    panels = np.pad(panels, (0, ln - len(panels)))
+    nch = np.ceil(cnt / t_lanes)
     best, best_cost = 1, None
     for cb in (1, 2, 4, 8):
-        steps = np.ceil(nch / cb)
+        steps = np.maximum(np.ceil(nch / cb), np.ceil(panels / k_panels))
         pad = steps * cb - nch
         cost = float((steps * STEP_FIXED_S
                       + pad * chunk_bytes / HBM_BPS).sum())
@@ -282,14 +400,8 @@ def _pick_t(trow: np.ndarray, tcol: np.ndarray, tilem: int) -> int:
     are cut by column span, so the expected tiles per chunk is the
     per-window count divided by the window's span count, not the raw
     average (fragmented windows would leave wide chunks mostly inert)."""
-    win = trow // ROW_WINDOW
-    uw, start = np.unique(win, return_index=True)
-    end = np.append(start[1:], trow.shape[0])
-    cnt = (end - start).astype(np.float64)
-    ext = (np.maximum.reduceat(tcol, start)
-           - np.minimum.reduceat(tcol, start) + 1)
-    spans = np.maximum(1, np.ceil(ext / SPAN_TC))
-    per_chunk = float(np.average(cnt / spans, weights=cnt))
+    cnt, _ = _window_stats(trow, tcol)
+    per_chunk = float(np.average(cnt, weights=cnt))
     for t in reversed(T_CHOICES):
         if per_chunk >= 0.75 * t:
             return t
@@ -297,53 +409,75 @@ def _pick_t(trow: np.ndarray, tcol: np.ndarray, tilem: int) -> int:
 
 
 def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
-                    t_lanes: int, c_batch: int = 1):
-    """Cut (row-window, column-span)-local chunks of `t_lanes` tiles.
+                    t_lanes: int, k_panels: int, c_batch: int = 1):
+    """Cut row-window-local grid *steps* of `c_batch` chunks x `t_lanes`
+    tiles over <= `k_panels` distinct x panels per step.
 
     Tiles must arrive sorted by (trow, tcol). Within each ROW_WINDOW of
-    tile-rows, tiles are re-sorted by tile-column and cut greedily: a chunk
-    closes after `t_lanes` tiles or when the column span would exceed
-    SPAN_TC. Each window's chunk count is padded to a multiple of
-    `c_batch` (a grid step processes c_batch same-window chunks, which
-    amortizes the per-step fixed cost on fragmented classes). Returns
-    per-chunk control scalars (cw/cfirst per *step*) + the (nchunks, T)
-    source permutation (`src`, -1 = inert lane) + packed per-tile meta.
+    tile-rows, tiles are re-sorted by tile-column and packed greedily: a
+    step closes after c_batch*t_lanes tiles or when it would need a
+    (k_panels+1)-th distinct 256-tile-column x panel; the step's tiles
+    are then split into c_batch chunks (trailing chunks inert). Panels
+    are fetched per STEP through the Pallas pipeline (scalar-prefetch
+    block index maps), so they need not be contiguous — scattered tiles
+    still pack full steps. Returns per-step control scalars (cw/cfirst),
+    the (nchunks, T) source permutation (`src`, -1 = inert lane), the
+    flat (nsteps*K,) panel ids, and xloc/lrow planes (xloc =
+    panel-slot * 256 + column-within-panel).
     """
     T = t_lanes
+    K = k_panels
+    cap = c_batch * T
     n_windows = max(1, -(-tilem // ROW_WINDOW))
     win_of_tile = trow // ROW_WINDOW
 
-    chunks_src, cw, cbase = [], [], []
+    chunks_src, cw, pb_list, slot_all = [], [], [], []
     for w in range(n_windows):
         sel = np.nonzero(win_of_tile == w)[0]
-        nch = 0
+        nst = 0
         if sel.size:
             order = np.argsort(tcol[sel], kind="stable")
             s = sel[order]
-            cols = tcol[s]
+            pan = tcol[s] >> 8
+            newp = np.ones(s.size, bool)
+            newp[1:] = pan[1:] != pan[:-1]
+            prank = np.cumsum(newp) - 1
             start = 0
             while start < s.size:
-                base = int(cols[start])
-                stop = int(np.searchsorted(cols, base + SPAN_TC,
+                # close at cap tiles or at the K-th new panel
+                stop = int(np.searchsorted(prank, prank[start] + K,
                                            side="left"))
-                stop = min(stop, start + T, s.size)
-                lane = s[start:stop]
-                chunks_src.append(np.concatenate(
-                    [lane, np.full(T - lane.size, -1, np.int64)]))
+                stop = min(stop, start + cap, s.size)
+                step_tiles = s[start:stop]
+                step_pan = pan[start:stop]
+                pans = np.unique(step_pan)
+                pb_list.append(np.concatenate(
+                    [pans, np.full(K - pans.size, pans[0], np.int64)]))
+                slot = np.searchsorted(pans, step_pan)
+                # split into c_batch chunks of T
+                for cbi in range(c_batch):
+                    lane = step_tiles[cbi * T:(cbi + 1) * T]
+                    sl = slot[cbi * T:(cbi + 1) * T]
+                    chunks_src.append(np.concatenate(
+                        [lane, np.full(T - lane.size, -1, np.int64)]))
+                    slot_all.append(np.concatenate(
+                        [sl, np.zeros(T - sl.size, np.int64)]))
                 cw.append(w)
-                cbase.append(base)
-                nch += 1
+                nst += 1
                 start = stop
-        # pad the window to a multiple of c_batch (>= 1 chunk, so every
-        # window's output block gets initialized)
-        while nch % c_batch or nch == 0:
-            chunks_src.append(np.full(T, -1, np.int64))
+        if nst == 0:
+            # >= 1 step so every window's output block gets initialized
+            for cbi in range(c_batch):
+                chunks_src.append(np.full(T, -1, np.int64))
+                slot_all.append(np.zeros(T, np.int64))
+            pb_list.append(np.zeros(K, np.int64))
             cw.append(w)
-            cbase.append(0)
-            nch += 1
+            nst += 1
     src = np.stack(chunks_src)
+    slot = np.stack(slot_all)
+    pb = np.stack(pb_list).astype(np.int32)          # (nsteps, K)
     nchunks = src.shape[0]
-    cw_steps = np.asarray(cw[::c_batch], np.int32)
+    cw_steps = np.asarray(cw, np.int32)
     cfirst = np.ones(cw_steps.shape[0], np.int32)
     cfirst[1:] = (cw_steps[1:] != cw_steps[:-1]).astype(np.int32)
 
@@ -351,169 +485,342 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
     safe = np.where(valid, src, 0)
     tr = np.where(valid, trow[safe], 0)
     tc = np.where(valid, tcol[safe], 0)
-    cw_chunk = np.asarray(cw, np.int64)
-    cbase = np.asarray(cbase, np.int32)
-    lrow = (tr - cw_chunk[:, None] * ROW_WINDOW).astype(np.int32)
+    cw_chunk = np.repeat(cw_steps.astype(np.int64), 1)  # per step
+    lrow = (tr - np.repeat(cw_chunk, c_batch)[:, None] * ROW_WINDOW
+            ).astype(np.int32)
     lrow = np.where(valid, lrow, 0).astype(np.int32)
-    xloc = (tc - cbase[:, None].astype(np.int64)).astype(np.int32)
+    xloc = (slot * PANEL_TC + (tc & (PANEL_TC - 1))).astype(np.int32)
     xloc = np.where(valid, xloc, -1).astype(np.int32)
 
-    meta = np.zeros((nchunks, META_ROWS, T), np.int32)
-    meta[:, META_XLOC] = xloc
-    meta[:, META_LROW] = lrow
-    return dict(src=src, valid=valid, meta=meta, cw=cw_steps,
-                cfirst=cfirst, cbase=cbase,
+    return dict(src=src, valid=valid, xloc=xloc, lrow=lrow, cw=cw_steps,
+                cfirst=cfirst, pb=pb.reshape(-1),
                 n_windows=n_windows, nchunks=nchunks)
 
 
 def empty_dense_class(n_windows: int, t_lanes: int,
-                      compute_dtype=jnp.float32) -> DenseChunks:
+                      compute_dtype=jnp.float32,
+                      k_panels: int = 1) -> DenseChunks:
     """A class of all-inert chunks, one per window (initializes the class
     output to zero; used to unify shard plans for SPMD)."""
     cdt = np.dtype(compute_dtype)
-    meta = np.zeros((n_windows, META_ROWS, t_lanes), np.int32)
+    meta = np.zeros((n_windows, DENSE_MROWS, t_lanes), np.int32)
     meta[:, META_XLOC] = -1
     return DenseChunks(
         val=jnp.zeros((n_windows, 16, 16, t_lanes), cdt),
         meta=jnp.asarray(meta),
-        cbase=jnp.zeros(n_windows, jnp.int32),
+        pb=jnp.zeros(n_windows * k_panels, jnp.int32),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
-        t_lanes=t_lanes)
+        t_lanes=t_lanes, k_panels=k_panels)
 
 
-def empty_sparse_class(n_windows: int, t_lanes: int, width: int = 16,
-                       compute_dtype=jnp.float32) -> SparseChunks:
+def empty_sparse_class(n_windows: int, width: int = 16,
+                       compute_dtype=jnp.float32,
+                       k_panels: int = 1) -> SparseChunks:
     cdt = np.dtype(compute_dtype)
-    meta = np.zeros((n_windows, META_ROWS, t_lanes), np.int32)
+    mrows = sparse_meta_rows(width)
+    meta = np.zeros((n_windows, mrows, SPARSE_T), np.int32)
     meta[:, META_XLOC] = -1
     return SparseChunks(
-        val=jnp.zeros((n_windows, width, t_lanes), cdt),
+        val=jnp.zeros((n_windows, width, SPARSE_T), cdt),
         meta=jnp.asarray(meta),
-        cbase=jnp.zeros(n_windows, jnp.int32),
+        pb=jnp.zeros(n_windows * k_panels, jnp.int32),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
-        width=width, t_lanes=t_lanes)
+        width=width, t_lanes=SPARSE_T, k_panels=k_panels)
+
+
+def _pack_sparse_class(trow, tcol, counts, r, c, v, width: int,
+                       tilem: int, cdt, force_cb1: bool) -> SparseChunks:
+    """Pack per-tile triplets (tiles sorted by (trow, tcol), entries
+    row-sorted per tile, counts <= width-1) into a width-W class."""
+    W = width
+    T = SPARSE_T
+    chunk_bytes = (W * T + sparse_meta_rows(W) * T) * 4
+    K = 4 if force_cb1 else _pick_k(trow, tcol, T)
+    cb = 1 if force_cb1 else _pick_cb(trow, tcol, tilem, T, K, chunk_bytes)
+    K = 4 if force_cb1 else _pick_k(trow, tcol, cb * T)
+    md = _chunk_metadata(trow, tcol, tilem, T, K, cb)
+    nchunks = md["nchunks"]
+
+    # tile -> (chunk, lane)
+    nt = trow.shape[0]
+    src, valid = md["src"], md["valid"]
+    chunk_of = np.zeros(nt, np.int64)
+    lane_of = np.zeros(nt, np.int64)
+    ci, li = np.nonzero(valid)
+    chunk_of[src[ci, li]] = ci
+    lane_of[src[ci, li]] = li
+
+    owner = np.repeat(np.arange(nt), counts)
+    off = np.arange(owner.shape[0]) - np.concatenate(
+        [[0], np.cumsum(counts)])[:-1][owner]
+    slot = off + 1                       # slot 0 reserved zero
+    ech, eln = chunk_of[owner], lane_of[owner]
+
+    val = np.zeros((nchunks, W, T), cdt)
+    val[ech, slot, eln] = v.astype(cdt)
+
+    mrows = sparse_meta_rows(W)
+    meta = np.zeros((nchunks, mrows, T), np.int32)
+    meta[:, META_XLOC] = md["xloc"]
+    meta[:, META_LROW] = md["lrow"]
+    # 4-bit columns, 8 per int32 word: slot s -> word s//8, nibble s%8
+    colw = np.zeros((nchunks, W // 8, T), np.uint32)
+    np.add.at(colw, (ech, slot // 8, eln),
+              (c.astype(np.uint32) << ((slot % 8) * 4)).astype(np.uint32))
+    meta[:, 2: 2 + W // 8] = colw.view(np.int32)
+    # packed row pointers: rend[r] = slot of last entry in rows <= r
+    # (= cumulative count, slot-indexed); 4 bytes per int32 word
+    rc = np.zeros((nt, 16), np.int64)
+    np.add.at(rc, (owner, r), 1)
+    rend = np.cumsum(rc, axis=1)         # (nt, 16) in [0, W-1]
+    rw = np.zeros((nchunks, 4, T), np.uint32)
+    for k in range(16):
+        np.add.at(rw, (chunk_of, k // 4, lane_of),
+                  (rend[:, k].astype(np.uint32) << ((k % 4) * 8)))
+    meta[:, 2 + W // 8: 2 + W // 8 + 4] = rw.view(np.int32)
+
+    return SparseChunks(
+        val=jnp.asarray(val), meta=jnp.asarray(meta),
+        pb=jnp.asarray(md["pb"]), cw=jnp.asarray(md["cw"]),
+        cfirst=jnp.asarray(md["cfirst"]),
+        width=W, t_lanes=T, k_panels=K, c_batch=cb), md["n_windows"]
+
+
+def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
+    """Pick brick-able stripes and pack them; returns (BandChunks | None,
+    selected-tile mask)."""
+    T = ROW_WINDOW
+    nt = trow.shape[0]
+    stripes, sfirst = np.unique(trow, return_index=True)
+    send = np.append(sfirst[1:], nt)
+    smin = np.minimum.reduceat(tcol, sfirst)
+    smax = np.maximum.reduceat(tcol, sfirst)
+    snnz = np.add.reduceat(counts, sfirst)
+    ext = smax - smin + 1
+    ok = (ext <= BAND_MAX_COLS) & (snnz >= BAND_MIN_STRIPE_FILL
+                                   * ext * 256)
+    if not ok.any():
+        return None, None
+    C = int(ext[ok].max())
+    # per-window panel budget: the union of [b, b+C) panels must fit
+    sel_w = stripes[ok] // T
+    okw = np.zeros(n_windows, bool)
+    uw = np.unique(sel_w)
+    for w in uw:
+        m_ = ok & (stripes // T == w)
+        pans = np.unique(np.concatenate(
+            [smin[m_] >> 8, (smin[m_] + C - 1) >> 8]))
+        if pans.size <= BAND_K:
+            okw[w] = True
+    ok &= okw[stripes // T]
+    if not ok.any():
+        return None, None
+    # coverage guards: enough windows and enough fill to justify the
+    # per-window zero-padded brick chunks
+    nsel_w = int(okw.sum())
+    fill = float(snnz[ok].sum()) / (nsel_w * C * 256 * T)
+    if (nsel_w < BAND_MIN_WINDOW_FRAC * n_windows
+            or fill < BAND_MIN_CLASS_FILL):
+        return None, None
+
+    nchunks = n_windows
+    val = np.zeros((nchunks, C, 16, 16, T), cdt)
+    bloc = np.zeros((nchunks, 1, T), np.int32)
+    pb = np.zeros((nchunks, BAND_K), np.int32)
+    tile_mask = np.zeros(nt, bool)
+    ok_stripe_of_tile = np.zeros(tilem + 1, np.int64) - 1
+    ok_idx = np.nonzero(ok)[0]
+    base_of_stripe = np.zeros(tilem + 1, np.int64)
+    for w in range(n_windows):
+        m_ = ok & (stripes // T == w)
+        if not m_.any():
+            continue
+        pans = np.unique(np.concatenate(
+            [smin[m_] >> 8, (smin[m_] + C - 1) >> 8]))
+        pb[w, : pans.size] = pans
+        pb[w, pans.size:] = pans[0]
+        lanes = stripes[m_] % T
+        slot = np.searchsorted(pans, smin[m_] >> 8)
+        bloc[w, 0, lanes] = (slot * PANEL_TC
+                             + (smin[m_] - (pans[slot] << 8))).astype(
+                                 np.int32)
+    ok_set = np.zeros(tilem, bool)
+    ok_set[stripes[ok]] = True
+    base_of_stripe[stripes] = smin
+    tile_mask = ok_set[trow]
+    # scatter entries of selected tiles
+    e_owner = np.repeat(np.arange(nt), counts)
+    e_sel = tile_mask[e_owner]
+    et = e_owner[e_sel]
+    cbv = (tcol[et] - base_of_stripe[trow[et]])
+    win = trow[et] // T
+    lane = trow[et] % T
+    # np.add (not assign): ELL/HYB pad slots share (row, col 0) with real
+    # entries; adding keeps the real value intact (pads add zero)
+    np.add.at(val, (win, cbv, ec[e_sel], er[e_sel], lane),
+              ev[e_sel].astype(cdt))
+
+    band = BandChunks(
+        val=jnp.asarray(val), bloc=jnp.asarray(bloc),
+        pb=jnp.asarray(pb.reshape(-1)),
+        cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
+        cfirst=jnp.ones(n_windows, jnp.int32),
+        c_cols=C, k_panels=BAND_K)
+    return band, tile_mask
 
 
 def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                     force_t: int | None = None,
                     use_stream: bool | None = None,
-                    stream_rounds: int | None = None,
-                    stream_s_batch: int | None = None,
-                    stream_subwin_rows: int | None = None) -> LanePlan:
+                    stream_s_batch: int | None = None) -> LanePlan:
     """Compile a TileMatrix into the lane-major Pallas plan.
 
-    `force_t` pins the chunk lane width for every class (used by the
-    distributed layer so shard plans share one program). `use_stream`
-    forces the COO tiles into (True) or out of (False) the entry-level
-    stream engine; None = auto by entry count. `stream_rounds` pads the
-    stream scatter-round count (SPMD unification)."""
+    `force_t` pins the dense-class chunk lane width and c_batch=1 for
+    every class (used by the distributed layer so shard plans share one
+    program). `use_stream` forces the COO tiles into (True) or out of
+    (False) the entry-level stream engine; None = auto by entry count
+    and per-tile density."""
     b = tm.config.tile_size
     if b != 16:
         raise NotImplementedError("pallas engines require tile_size=16")
     cdt = np.dtype(compute_dtype)
 
-    trow, tcol, blocks = _densify_tiles(tm)
+    trow, tcol, counts, er, ec, ev = _all_entries(tm)
     n_windows = max(1, -(-tm.tilem // ROW_WINDOW))
+
+    # --- COO tiles: the entry-level stream engine when they are many and
+    # near-singleton; otherwise they join the per-tile routing below
+    bk = tm.coo
+    coo_entries = int(bk.val.shape[0]) if bk.num_tiles else 0
+    coo_avg = coo_entries / max(1, bk.num_tiles) if bk.num_tiles else 0.0
+    if use_stream is None:
+        use_stream = (coo_entries >= STREAM_MIN_ENTRIES
+                      and coo_avg < COO_SPARSE_MIN_AVG)
+    if not use_stream and bk.num_tiles:
+        ccounts = np.diff(bk.nnz_ptr)
+        ctr = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
+        ctc = tm.tile_columnidx[bk.tile_ids].astype(np.int64)
+        owner = np.repeat(np.arange(bk.num_tiles), ccounts)
+        trow = np.concatenate([trow, ctr])
+        tcol = np.concatenate([tcol, ctc])
+        counts = np.concatenate([counts, ccounts])
+        er = np.concatenate([er, bk.row.astype(np.int64)])
+        ec = np.concatenate([ec, bk.col.astype(np.int64)])
+        ev = np.concatenate([ev, bk.val.astype(np.float64)])
+        order_t = np.lexsort((tcol, trow))
+        rank_t = np.empty(trow.shape[0], np.int64)
+        rank_t[order_t] = np.arange(trow.shape[0])
+        e_owner = np.repeat(np.arange(trow.shape[0]), counts)
+        order_e = np.lexsort((ec, er, rank_t[e_owner]))
+        trow, tcol, counts = trow[order_t], tcol[order_t], counts[order_t]
+        er, ec, ev = er[order_e], ec[order_e], ev[order_e]
+
+    # --- band (brick) class: qualifying tile-row stripes leave the
+    # per-tile routing entirely (see BAND_MAX_COLS comment)
+    band = None
+    if trow.size and force_t is None:
+        band, band_tile_mask = _select_band(trow, tcol, counts, tm.tilem,
+                                            n_windows, er, ec, ev, cdt)
+        if band is not None:
+            esel = ~band_tile_mask[np.repeat(np.arange(trow.shape[0]),
+                                             counts)]
+            trow, tcol, counts, er, ec, ev = (
+                trow[~band_tile_mask], tcol[~band_tile_mask],
+                counts[~band_tile_mask], er[esel], ec[esel], ev[esel])
+
+    # --- execution routing: per tile, dense block vs sparse-entry class
+    dense_mask = counts >= DENSE_MIN_NNZ
+    widx = np.searchsorted(np.asarray(W_CHOICES), counts + 1)
+    widx[dense_mask] = len(W_CHOICES)
+    # merge thin classes upward (fewer kernel launches); the top class
+    # merges into dense
+    for k in range(len(W_CHOICES)):
+        cnt_k = int(np.sum(widx == k))
+        if 0 < cnt_k < MIN_CLASS_TILES:
+            widx[widx == k] = k + 1
+    dense_mask = widx >= len(W_CHOICES)
+
+    entry_owner = np.repeat(np.arange(trow.shape[0]), counts)
     dense = None
-    if trow.size:
-        t_lanes = force_t or _pick_t(trow, tcol, tm.tilem)
-        cb = 1 if force_t else _pick_cb(trow, tcol, tm.tilem,
-                                        t_lanes)
-        meta = _chunk_metadata(trow, tcol, tm.tilem, t_lanes, cb)
-        valid = meta["valid"]
-        safe = np.where(valid, meta["src"], 0)
+    if dense_mask.any():
+        sel = np.nonzero(dense_mask)[0]
+        esel = dense_mask[entry_owner]
+        blocks = _densify(trow[sel], tcol[sel], counts[sel],
+                          er[esel], ec[esel], ev[esel], b)
+        dtr, dtc = trow[sel], tcol[sel]
+        t_lanes = force_t or _pick_t(dtr, dtc, tm.tilem)
+        chunk_bytes = (16 * 16 * t_lanes + DENSE_MROWS * t_lanes) * 4
+        kp = 4 if force_t else _pick_k(dtr, dtc, t_lanes)
+        cb = 1 if force_t else _pick_cb(dtr, dtc, tm.tilem, t_lanes, kp,
+                                        chunk_bytes)
+        kp = 4 if force_t else _pick_k(dtr, dtc, cb * t_lanes)
+        md = _chunk_metadata(dtr, dtc, tm.tilem, t_lanes, kp, cb)
+        valid = md["valid"]
+        safe = np.where(valid, md["src"], 0)
         vt = blocks[safe].astype(cdt)       # (nchunks, T, b_i, b_j)
         vt[~valid] = 0.0
         # j-major layout (nchunks, b_j, b_i, T): the kernel's j-th FMA step
         # reads a contiguous (16, T) slab
         val = np.ascontiguousarray(vt.transpose(0, 3, 2, 1))
+        meta = np.zeros((md["nchunks"], DENSE_MROWS, t_lanes), np.int32)
+        meta[:, META_XLOC] = md["xloc"]
+        meta[:, META_LROW] = md["lrow"]
         dense = DenseChunks(
-            val=jnp.asarray(val), meta=jnp.asarray(meta["meta"]),
-            cbase=jnp.asarray(meta["cbase"]), cw=jnp.asarray(meta["cw"]),
-            cfirst=jnp.asarray(meta["cfirst"]), t_lanes=t_lanes,
-            c_batch=cb)
-        n_windows = meta["n_windows"]
+            val=jnp.asarray(val), meta=jnp.asarray(meta),
+            pb=jnp.asarray(md["pb"]), cw=jnp.asarray(md["cw"]),
+            cfirst=jnp.asarray(md["cfirst"]), t_lanes=t_lanes,
+            k_panels=kp, c_batch=cb)
+        n_windows = max(n_windows, md["n_windows"])
 
-    # COO tiles: entry-level stream engine when there is enough work to
-    # amortize slabs, else the per-tile sparse-entry class
     sparses = []
+    for k, W in enumerate(W_CHOICES):
+        sel_mask = widx == k
+        if not sel_mask.any():
+            continue
+        sel = np.nonzero(sel_mask)[0]
+        esel = sel_mask[entry_owner]
+        sc, nw = _pack_sparse_class(
+            trow[sel], tcol[sel], counts[sel], er[esel], ec[esel],
+            ev[esel], W, tm.tilem, cdt, force_cb1=force_t is not None)
+        sparses.append(sc)
+        n_windows = max(n_windows, nw)
+
+    # --- stream engine for the COO tiles (decided above)
     stream = None
     spill = (np.zeros(0, np.int64), np.zeros(0, np.int64),
              np.zeros(0, np.float64))
-    coo_entries = int(tm.coo.val.shape[0]) if tm.coo.num_tiles else 0
-    if use_stream is None:
-        use_stream = coo_entries >= STREAM_MIN_ENTRIES
     if use_stream:
-        bk = tm.coo
         if bk.num_tiles:
-            counts = np.diff(bk.nnz_ptr)
-            owner = np.repeat(np.arange(bk.num_tiles), counts)
+            ccounts = np.diff(bk.nnz_ptr)
+            owner = np.repeat(np.arange(bk.num_tiles), ccounts)
             g_row = (tm.tile_rowidx[bk.tile_ids[owner]].astype(np.int64) * b
                      + bk.row)
             g_col = (tm.tile_columnidx[bk.tile_ids[owner]].astype(np.int64)
                      * b + bk.col)
             stream, spill = build_stream_chunks(
                 g_row, g_col, bk.val, tm.m, compute_dtype=cdt,
-                pad_rounds=stream_rounds, s_batch=stream_s_batch,
-                subwin_rows=stream_subwin_rows)
+                s_batch=stream_s_batch)
         else:
             from .stream_plan import empty_stream_chunks
-            stream = empty_stream_chunks(max(1, -(-tm.m // RW_ROWS)),
-                                         stream_rounds or 4, cdt,
+            stream = empty_stream_chunks(max(1, -(-tm.m // RW_ROWS)), cdt,
                                          s_batch=stream_s_batch or 4)
-    bk = tm.coo
-    if bk.num_tiles and not use_stream:
-        counts = np.diff(bk.nnz_ptr)
-        W = 16
-        strow = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
-        stcol = tm.tile_columnidx[bk.tile_ids].astype(np.int64)
-        t_lanes = force_t or _pick_t(strow, stcol, tm.tilem)
-        cb = 1 if force_t else _pick_cb(strow, stcol, tm.tilem,
-                                        t_lanes)
-        meta = _chunk_metadata(strow, stcol, tm.tilem, t_lanes, cb)
-        valid = meta["valid"]
-        safe = np.where(valid, meta["src"], 0)
-        owner = np.repeat(np.arange(bk.num_tiles), counts)
-        off = np.arange(int(bk.nnz_ptr[-1])) - bk.nnz_ptr[owner]
-        tile_val = np.zeros((bk.num_tiles, W), np.float64)
-        tile_rc = np.full((bk.num_tiles, W), 255, np.int64)
-        tile_val[owner, off] = bk.val
-        tile_rc[owner, off] = (bk.row.astype(np.int64) << 4) | bk.col
-        sval = tile_val[safe].astype(cdt)
-        sval[~valid] = 0.0
-        src_rc = tile_rc[safe]          # (nchunks, T, W)
-        src_rc[~valid] = 255
-        # pack 4 rowcol bytes per int32 word into meta rows META_RC0..
-        words = (src_rc[:, :, 0::4]
-                 | (src_rc[:, :, 1::4] << 8)
-                 | (src_rc[:, :, 2::4] << 16)
-                 | (src_rc[:, :, 3::4] << 24))          # (nchunks, T, W//4)
-        mmeta = meta["meta"]
-        mmeta[:, META_RC0: META_RC0 + W // 4] = (
-            words.transpose(0, 2, 1).astype(np.uint32).view(np.int32))
-        sparses.append(SparseChunks(
-            val=jnp.asarray(np.ascontiguousarray(sval.transpose(0, 2, 1))),
-            meta=jnp.asarray(mmeta), cbase=jnp.asarray(meta["cbase"]),
-            cw=jnp.asarray(meta["cw"]), cfirst=jnp.asarray(meta["cfirst"]),
-            width=W, t_lanes=t_lanes, c_batch=cb))
-        n_windows = max(n_windows, meta["n_windows"])
 
     # leftover residual: HYB overflow (COO tiles are handled on-chip
     # above; including them here would double count) + stream spill
     res_rows = [spill[0]]
     res_cols = [spill[1]]
     res_vals = [spill[2]]
-    r = tm.hyb
-    if r.coo_val.size:
-        sizes = np.diff(r.coo_ptr)
-        owner = np.repeat(np.arange(r.num_tiles), sizes)
-        res_rows.append(tm.tile_rowidx[r.tile_ids[owner]].astype(np.int64)
-                        * b + r.coo_row)
-        res_cols.append(tm.tile_columnidx[r.tile_ids[owner]]
-                        .astype(np.int64) * b + r.coo_col)
-        res_vals.append(r.coo_val.astype(np.float64))
+    hb = tm.hyb
+    if hb.coo_val.size:
+        sizes = np.diff(hb.coo_ptr)
+        owner = np.repeat(np.arange(hb.num_tiles), sizes)
+        res_rows.append(tm.tile_rowidx[hb.tile_ids[owner]].astype(np.int64)
+                        * b + hb.coo_row)
+        res_cols.append(tm.tile_columnidx[hb.tile_ids[owner]]
+                        .astype(np.int64) * b + hb.coo_col)
+        res_vals.append(hb.coo_val.astype(np.float64))
     g_row = np.concatenate(res_rows)
     g_col = np.concatenate(res_cols)
     g_val = np.concatenate(res_vals)
@@ -528,7 +835,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                                   row=jnp.zeros(0, jnp.int32),
                                   col=jnp.zeros(0, jnp.int32))
 
-    return LanePlan(dense=dense, sparses=tuple(sparses), residual=residual,
-                    stream=stream,
+    sparses.sort(key=lambda s: s.width)
+    return LanePlan(dense=dense, band=band, sparses=tuple(sparses),
+                    residual=residual, stream=stream,
                     m=tm.m, n=tm.n, tilem=tm.tilem, tilen=tm.tilen,
                     tile_size=b, nnz=tm.nnz, n_windows=n_windows)

@@ -184,7 +184,7 @@ def _unify_lane_plans(plans: list) -> list:
     """Give per-shard LanePlans identical treedefs/shapes (SPMD): every
     shard gets every class, chunk counts padded to the max with inert
     chunks appended at the last window (cw stays monotone)."""
-    from ..ops.pallas.lane_plan import (META_ROWS, META_XLOC, DenseChunks,
+    from ..ops.pallas.lane_plan import (META_XLOC, DenseChunks,
                                         SparseChunks, LanePlan,
                                         empty_dense_class,
                                         empty_sparse_class)
@@ -199,9 +199,6 @@ def _unify_lane_plans(plans: list) -> list:
     cdt = cdt or jnp.float32
     t_dense = max((p.dense.t_lanes for p in plans if p.dense is not None),
                   default=128)
-    has_sparse = any(p.sparses for p in plans)
-    t_sparse = max((s.t_lanes for p in plans for s in p.sparses),
-                   default=128)
 
     def pad_class(c, target, n_windows, is_dense):
         # per-step cw/cfirst padding below assumes one chunk per step;
@@ -212,85 +209,83 @@ def _unify_lane_plans(plans: list) -> list:
             return c
         extra = target - nc
         t = c.t_lanes
-        meta_pad = np.zeros((extra, META_ROWS, t), np.int32)
+        meta_pad = np.zeros((extra,) + tuple(c.meta.shape[1:]), np.int32)
         meta_pad[:, META_XLOC] = -1
         kw = dict(
             val=jnp.concatenate(
                 [c.val, jnp.zeros((extra,) + c.val.shape[1:], c.val.dtype)]),
             meta=jnp.concatenate([c.meta, jnp.asarray(meta_pad)]),
-            cbase=jnp.concatenate([c.cbase, jnp.zeros(extra, jnp.int32)]),
+            pb=jnp.concatenate(
+                [c.pb, jnp.zeros(extra * c.k_panels, jnp.int32)]),
             cw=jnp.concatenate(
                 [c.cw, jnp.full(extra, n_windows - 1, jnp.int32)]),
             cfirst=jnp.concatenate([c.cfirst, jnp.zeros(extra, jnp.int32)]),
         )
         if is_dense:
-            return DenseChunks(t_lanes=t, **kw)
-        return SparseChunks(width=c.width, t_lanes=t, **kw)
+            return DenseChunks(t_lanes=t, k_panels=c.k_panels, **kw)
+        return SparseChunks(width=c.width, t_lanes=t,
+                            k_panels=c.k_panels, **kw)
 
     denses = []
     for p in plans:
         d = p.dense if p.dense is not None else empty_dense_class(
-            n_windows, t_dense, cdt)
+            n_windows, t_dense, cdt, k_panels=4)
         denses.append(d)
     nd = max(d.val.shape[0] for d in denses)
     denses = [pad_class(d, nd, n_windows, True) for d in denses]
 
-    sparses = []
-    if has_sparse:
+    # sparse classes unify per width: every shard gets every width that
+    # appears anywhere, padded to that width's max chunk count
+    widths = sorted({s.width for p in plans for s in p.sparses})
+    sparses = [[] for _ in plans]
+    for w in widths:
         per = []
         for p in plans:
-            s = p.sparses[0] if p.sparses else empty_sparse_class(
-                n_windows, t_sparse, 16, cdt)
-            per.append(s)
+            match = [s for s in p.sparses if s.width == w]
+            per.append(match[0] if match
+                       else empty_sparse_class(n_windows, w, cdt,
+                                               k_panels=4))
         ns = max(s.val.shape[0] for s in per)
-        sparses = [(pad_class(s, ns, n_windows, False),) for s in per]
-    else:
-        sparses = [() for _ in plans]
+        for i, s in enumerate(per):
+            sparses[i].append(pad_class(s, ns, n_windows, False))
+    sparses = [tuple(s) for s in sparses]
 
     has_stream = any(p.stream is not None for p in plans)
     streams = [None] * len(plans)
     if has_stream:
-        rounds = max(p.stream.rounds for p in plans if p.stream is not None)
         nw2 = max(p.n_stream_windows for p in plans)
-        subw = {p.stream.subwin_rows for p in plans
-                if p.stream is not None}
-        assert len(subw) == 1, "shards must share subwin_rows (pin it)"
-        subw = subw.pop()
+        rounds = max(p.stream.rounds for p in plans
+                     if p.stream is not None)
         per = [p.stream if p.stream is not None
-               else empty_stream_chunks(nw2, rounds, cdt,
-                                        subwin_rows=subw)
+               else empty_stream_chunks(nw2, cdt, rounds=rounds)
                for p in plans]
         ns = max(s.nslabs for s in per)
 
         def pad_stream(s):
-            rend, rstart, rsrc = s.rend, s.rstart, s.rsrc
+            planes = s.planes
             if s.rounds < rounds:
-                # padded rounds have end == start == 0 -> zero diff
-                padr = [(0, 0), (0, (rounds - s.rounds) * 8), (0, 0)]
-                rend = jnp.pad(rend, padr)
-                rstart = jnp.pad(rstart, padr)
-                rsrc = jnp.pad(rsrc, padr)
+                # extra rounds are all-zero: rend == rstart -> zero diff
+                planes = jnp.pad(
+                    planes,
+                    [(0, 0), (0, (rounds - s.rounds) * 24), (0, 0)])
             extra = ns - s.nslabs
-            if extra:
-                def padn(a):
-                    return jnp.concatenate(
-                        [a, jnp.zeros((extra,) + a.shape[1:], a.dtype)])
-                xsteps = extra // s.s_batch
-                return StreamChunks(
-                    val=padn(s.val), vidx=padn(s.vidx), rend=padn(rend),
-                    rstart=padn(rstart), rsrc=padn(rsrc),
-                    sbase=padn(s.sbase),
-                    cw=jnp.concatenate(
-                        [s.cw, jnp.full(xsteps, nw2 - 1, jnp.int32)]),
-                    cfirst=jnp.concatenate(
-                        [s.cfirst, jnp.zeros(xsteps, jnp.int32)]),
-                    rounds=rounds, s_batch=s.s_batch,
-                    subwin_rows=s.subwin_rows)
+            if not extra and s.rounds == rounds:
+                return s
+
+            def padn(a):
+                return jnp.concatenate(
+                    [a, jnp.zeros((extra,) + a.shape[1:], a.dtype)])
+            xsteps = extra // s.s_batch
             return StreamChunks(
-                val=s.val, vidx=s.vidx, rend=rend, rstart=rstart,
-                rsrc=rsrc, sbase=s.sbase, cw=s.cw, cfirst=s.cfirst,
-                rounds=rounds, s_batch=s.s_batch,
-                subwin_rows=s.subwin_rows)
+                val=padn(s.val), vidx=padn(s.vidx),
+                planes=padn(planes),
+                sbase=jnp.concatenate(
+                    [s.sbase, jnp.zeros(extra, jnp.int32)]),
+                cw=jnp.concatenate(
+                    [s.cw, jnp.full(xsteps, nw2 - 1, jnp.int32)]),
+                cfirst=jnp.concatenate(
+                    [s.cfirst, jnp.zeros(xsteps, jnp.int32)]),
+                s_batch=s.s_batch, rounds_=rounds)
         streams = [pad_stream(s) for s in per]
 
     res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
@@ -299,7 +294,7 @@ def _unify_lane_plans(plans: list) -> list:
     for i, p in enumerate(plans):
         e = _pad_residual(p.residual, res_n)
         out.append(LanePlan(
-            dense=denses[i], sparses=sparses[i], residual=e,
+            dense=denses[i], band=None, sparses=sparses[i], residual=e,
             stream=streams[i],
             m=p.m, n=p.n, tilem=p.tilem, tilen=p.tilen,
             tile_size=p.tile_size, nnz=total_nnz, n_windows=n_windows))
@@ -400,7 +395,7 @@ def _plan_blocks(tile_matrices, backend, compute_dtype):
         use_stream = coo_total >= STREAM_MIN_ENTRIES
         plans = [build_lane_plan(tm, compute_dtype=compute_dtype,
                                  force_t=128, use_stream=use_stream,
-                                 stream_s_batch=4, stream_subwin_rows=8)
+                                 stream_s_batch=4)
                  for tm in tile_matrices]
         return _unify_lane_plans(plans)
     plans = [build_plan(tm, compute_dtype=compute_dtype)

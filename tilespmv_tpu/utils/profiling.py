@@ -64,8 +64,9 @@ def profile_engines(op, x=None) -> dict[str, dict]:
     Returns {class_name: {"us": .., "bytes": .., "gbps": ..}} — the analog
     of the reference's per-format cost profile. Pallas backend only.
     """
-    from ..ops.pallas.kernels import (dense_class_call,
-                                      sparse_class_call, stream_class_call)
+    from ..ops.pallas.kernels import (band_class_call, dense_class_call,
+                                      sparse_class_call, stream_class_call,
+                                      x_to_panels)
     from ..ops.pallas.lane_plan import LanePlan
 
     plan = op.plan
@@ -75,7 +76,7 @@ def profile_engines(op, x=None) -> dict[str, dict]:
         x = ((np.arange(plan.n) % 10) / 4.0)
     xj = jnp.asarray(x, dtype=op.compute_dtype)
     x_pad = jnp.zeros(plan.x_padded_len, xj.dtype).at[: plan.n].set(xj)
-    x2d = x_pad.reshape(-1, plan.tile_size)
+    x_panels = jax.jit(functools.partial(x_to_panels, plan))(xj)
 
     def nbytes(*arrays):
         return sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in arrays)
@@ -87,16 +88,26 @@ def profile_engines(op, x=None) -> dict[str, dict]:
         fn_d = functools.partial(dense_class_call,
                                  n_windows=plan.n_windows,
                                  interpret=interp)
-        dt = _timed(fn_d, d, x2d)
+        dt = _timed(fn_d, d, x_panels)
         b = nbytes(d.val, d.meta)
         out["dense"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
                         "chunks": int(d.val.shape[0]),
                         "t_lanes": d.t_lanes}
+    if plan.band is not None:
+        bd = plan.band
+        fn_b = functools.partial(band_class_call,
+                                 n_windows=plan.n_windows,
+                                 interpret=interp)
+        dt = _timed(fn_b, bd, x_panels)
+        b = nbytes(bd.val, bd.bloc)
+        out["band"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
+                       "chunks": int(bd.val.shape[0]),
+                       "c_cols": bd.c_cols}
     for i, s in enumerate(plan.sparses):
         fn_s = functools.partial(sparse_class_call,
                                  n_windows=plan.n_windows,
                                  interpret=interp)
-        dt = _timed(fn_s, s, x2d)
+        dt = _timed(fn_s, s, x_panels)
         b = nbytes(s.val, s.meta)
         out[f"sparse_w{s.width}"] = {
             "us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
@@ -109,7 +120,7 @@ def profile_engines(op, x=None) -> dict[str, dict]:
             stream_class_call, n_windows=plan.n_stream_windows,
             interpret=interp)
         dt = _timed(fn_st, st, x128)
-        b = nbytes(st.val, st.vidx, st.rend, st.rstart, st.rsrc)
+        b = nbytes(st.val, st.vidx, st.planes)
         out["stream"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
                          "slabs": int(st.nslabs), "rounds": st.rounds}
     if plan.residual.val.shape[0]:
