@@ -10,6 +10,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# f64 is a first-class compute dtype (reference MAT_VAL_TYPE double);
+# the Pallas kernels trace themselves with x64 off (_x32_trace)
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

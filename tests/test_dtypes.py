@@ -53,3 +53,37 @@ def test_f32_precision_is_better_than_bf16():
     y32 = np.asarray(TileSpMV(csr, compute_dtype=jnp.float32)(x))
     rel32 = np.max(np.abs(y32 - ref) / (1 + np.abs(ref)))
     assert rel32 < 1e-4
+
+
+def test_f64_banded_routes_to_pallas_df64():
+    """Band/dense-only matrices run f64 on the Pallas double-f32 path
+    (plan-time Dekker pre-splits + compensated accumulation); verify
+    near-f64 accuracy against the magnitude-sum (cancellation-free)
+    error measure."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled in this session")
+    csr = generate.banded(2048, 2048, 8, seed=3)
+    op = TileSpMV(csr, compute_dtype=jnp.float64)
+    assert op.backend == "pallas"
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(csr.n)
+    y = np.asarray(op(x))
+    ref = _golden(csr, x)
+    mag = np.abs(csr.to_dense().astype(np.float64)) @ np.abs(
+        x.astype(np.float64))
+    assert np.max(np.abs(y - ref) / (1e-300 + mag)) < 1e-10
+
+
+def test_f64_dense_blocks_pallas_df64():
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled in this session")
+    csr = generate.dense_blocks(1024, 1024, num_blocks=24, seed=5)
+    op = TileSpMV(csr, compute_dtype=jnp.float64)
+    assert op.backend == "pallas"
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(csr.n)
+    y = np.asarray(op(x))
+    ref = _golden(csr, x)
+    mag = np.abs(csr.to_dense().astype(np.float64)) @ np.abs(
+        x.astype(np.float64))
+    assert np.max(np.abs(y - ref) / (1e-300 + mag)) < 1e-10

@@ -36,6 +36,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax._src.config import enable_x64 as _enable_x64_ctx
+
+
+def _x32_trace():
+    """Kernels are pure 32-bit programs; under jax_enable_x64 (the f64
+    API path) jnp helpers would promote gather indices to int64, which
+    Mosaic rejects — trace them with x64 off."""
+    return _enable_x64_ctx(False)
 
 from .lane_plan import (DENSE_MROWS, META_LROW, META_XLOC, PANEL_TC,
                         ROW_WINDOW, BandChunks, DenseChunks, LanePlan,
@@ -87,6 +95,51 @@ def _split_dot_left(lt, a, acc_dtype):
             + jax.lax.dot(ltb, a_lo, preferred_element_type=acc_dtype))
 
 
+def _x_split(xq):
+    """Runtime Dekker split of a gathered x block into 12-bit halves
+    (b1 + b2 == xq exactly), for exact f32 products against the
+    plan-time pre-split A values."""
+    t = jnp.float32(4097.0) * xq
+    b1 = t - (t - xq)
+    return b1, xq - b1
+
+
+def _df64_mac(sh, sm, cm, a1, a2, vl, b1, b2, xh, xl):
+    """(sh, sm, cm) += a * x in double-f32: the dominant product is the
+    EXACT sum a1*b1 + (a1*b2 + a2*b1) + a2*b2 (12-bit factors), two-sum
+    compensated into sh; the tail (spill + cross terms) goes through a
+    Kahan-compensated second accumulator. Relative error ~1e-11 over
+    1e3-term rows (bounded by the 2^-36 rounding of the tail bundle)."""
+    p1 = a1 * b1
+    p2 = a1 * b2 + a2 * b1
+    p3 = a2 * b2
+    cross = (a1 + a2) * xl + vl * xh
+    t = sh + p1
+    bb = t - sh
+    e = (sh - (t - bb)) + (p1 - bb)
+    u = e + p2 + p3 + cross
+    yk = u - cm
+    t2 = sm + yk
+    cm = (t2 - sm) - yk
+    return t, t2, cm
+
+
+def _split_dot3(a, oh):
+    """a @ oh with `oh` an exact 0/1 one-hot and EXACT f32 splitting: a
+    f32 value is exactly the sum of three bf16 parts (8-bit mantissas),
+    so three MXU passes reproduce the f32 scatter with only the f32
+    accumulation rounding (needed by the double-f32 paths — the 2-way
+    split's ~2^-17 error would swamp them)."""
+    a1 = a.astype(jnp.bfloat16)
+    r1 = a - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    ohb = oh.astype(jnp.bfloat16)
+    return (jax.lax.dot(a1, ohb, preferred_element_type=jnp.float32)
+            + jax.lax.dot(a2, ohb, preferred_element_type=jnp.float32)
+            + jax.lax.dot(a3, ohb, preferred_element_type=jnp.float32))
+
+
 def _gather_xg(panels, meta_ref, b, t: int, k_panels: int, acc_dtype):
     """Pick xg (16, T) — each tile's 16-value x block — with width-128
     hardware lane gathers over the step's `k_panels` pre-transposed
@@ -113,8 +166,9 @@ def _gather_xg(panels, meta_ref, b, t: int, k_panels: int, acc_dtype):
 
 
 def _window_block(yc, meta_ref, b, t: int, acc_dtype,
-                  interpret: bool = False):
-    """Route a chunk result to its (16, ROW_WINDOW) output block."""
+                  interpret: bool = False, exact3: bool = False):
+    """Route a chunk result to its (16, ROW_WINDOW) output block.
+    `exact3` uses the exact 3-way bf16 split (double-f32 paths)."""
     lr = meta_ref[b, META_LROW]  # (T,)
     if interpret:
         return jnp.zeros((yc.shape[0], ROW_WINDOW), acc_dtype).at[:, lr].add(
@@ -123,7 +177,32 @@ def _window_block(yc, meta_ref, b, t: int, acc_dtype,
     ohr = jnp.where(lr[:, None] == iota_r,
                     jnp.asarray(1.0, jnp.float32),
                     jnp.asarray(0.0, jnp.float32))
+    if exact3:
+        return _split_dot3(yc, ohr)
     return _split_dot(yc, ohr, acc_dtype)  # (16, RW)
+
+
+def _two_sum(a, b):
+    """Knuth exact two-sum: returns (s, e) with s + e == a + b."""
+    t = a + b
+    bb = t - a
+    return t, (a - (t - bb)) + (b - bb)
+
+
+def _write_out_df64(i, cfirst, yh, yl, out_h_ref, out_l_ref):
+    """Accumulate a (hi, lo) pair into the window outputs with a
+    compensated hi add (plain f32 += of hi parts would throw away the
+    double-f32 precision across chunks/steps)."""
+    @pl.when(cfirst[i] == 1)
+    def _():
+        out_h_ref[...] = yh
+        out_l_ref[...] = yl
+
+    @pl.when(cfirst[i] == 0)
+    def _():
+        t, e = _two_sum(out_h_ref[...], yh)
+        out_h_ref[...] = t
+        out_l_ref[...] += yl + e
 
 
 def _write_out(i, cfirst, yblk, out_ref):
@@ -137,25 +216,58 @@ def _write_out(i, cfirst, yblk, out_ref):
 
 
 def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
-                  *refs,                           # panels, val, meta, out
+                  *refs,                     # panels, val, meta, out[,lo]
                   t: int, k_panels: int, c_batch: int, acc_dtype,
-                  interpret: bool = False):
+                  df64: bool = False, interpret: bool = False):
     panel_refs = refs[:k_panels]
-    val_ref, meta_ref, out_ref = refs[k_panels:]
-    panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
+    val_ref, meta_ref, out_ref = refs[k_panels: k_panels + 3]
     i = pl.program_id(0)
-    blks = []
+    if not df64:
+        panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
+        blks = []
+        for b in range(c_batch):
+            xg = _gather_xg(panels, meta_ref, b, t, k_panels, acc_dtype)
+            # val is j-major: val[b, j] is the contiguous (16_i, T) slab
+            # of the tiles' j-th columns
+            yc = functools.reduce(
+                lambda a, j: a + (val_ref[b, j].astype(acc_dtype)
+                                  * xg[j, :][None, :]),
+                range(_B), jnp.zeros((_B, t), acc_dtype))
+            blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
+                                      interpret))
+        _write_out(i, cfirst, _tree_sum(blks), out_ref)
+        return
+    # double-f32 (see _df64_mac); both accumulators are routed through
+    # the window one-hot separately and leave through two outputs
+    out_lo_ref = refs[-1]
+    panels_h = [pr[0, 0] for pr in panel_refs]
+    panels_l = [pr[0, 1] for pr in panel_refs]
+    wh = wl = None
     for b in range(c_batch):
-        xg = _gather_xg(panels, meta_ref, b, t, k_panels, acc_dtype)
-        # val is j-major: val[b, j] is the contiguous (16_i, T) slab of
-        # the tiles' j-th columns
-        yc = functools.reduce(
-            lambda a, j: a + (val_ref[b, j].astype(acc_dtype)
-                              * xg[j, :][None, :]),
-            range(_B), jnp.zeros((_B, t), acc_dtype))
-        blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
-                                  interpret))
-    _write_out(i, cfirst, _tree_sum(blks), out_ref)
+        xh = _gather_xg(panels_h, meta_ref, b, t, k_panels, jnp.float32)
+        xl = _gather_xg(panels_l, meta_ref, b, t, k_panels, jnp.float32)
+        b1, b2 = _x_split(xh)
+        sh = jnp.zeros((_B, t), jnp.float32)
+        sm = jnp.zeros((_B, t), jnp.float32)
+        cm = jnp.zeros((_B, t), jnp.float32)
+        for j in range(_B):
+            sh, sm, cm = _df64_mac(
+                sh, sm, cm,
+                val_ref[b, 3 * j], val_ref[b, 3 * j + 1],
+                val_ref[b, 3 * j + 2],
+                b1[j, :][None, :], b2[j, :][None, :],
+                xh[j, :][None, :], xl[j, :][None, :])
+        bh = _window_block(sh, meta_ref, b, t, jnp.float32, interpret,
+                           exact3=True)
+        bl = _window_block(sm, meta_ref, b, t, jnp.float32, interpret,
+                           exact3=True)
+        if wh is None:
+            wh, wl = bh, bl
+        else:
+            # compensated within-step accumulation across the batch
+            wh, e = _two_sum(wh, bh)
+            wl = wl + bl + e
+    _write_out_df64(i, cfirst, wh, wl, out_ref, out_lo_ref)
 
 
 def _sparse_kernel(pb, cw, cfirst,
@@ -218,21 +330,20 @@ def _sparse_kernel(pb, cw, cfirst,
 
 
 def _band_kernel(pb, cw, cfirst,
-                 *refs,          # panels, val, bloc, out
-                 c_cols: int, k_panels: int, acc_dtype,
+                 *refs,          # panels, val, bloc, out[, out_lo]
+                 c_cols: int, k_panels: int, acc_dtype, df64: bool,
                  interpret: bool = False):
     """Brick class: lane = tile-row, so there is no index decode and no
     output routing — C x 16 pure FMA steps against static panel rows
     picked by one radix lane-gather per brick column block."""
     panel_refs = refs[:k_panels]
-    val_ref, bloc_ref, out_ref = refs[k_panels:]
-    panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
+    val_ref, bloc_ref, out_ref = refs[k_panels: k_panels + 3]
     i = pl.program_id(0)
     T = ROW_WINDOW
     bloc = bloc_ref[0, 0]                       # (T,) int32
     ngrp = PANEL_TC // 128
-    acc = jnp.zeros((_B, T), acc_dtype)
-    for cb in range(c_cols):
+
+    def gather_xq(panels, cb):
         loc = bloc + cb
         xqs = []
         for g0 in range(0, T, 128):
@@ -249,33 +360,70 @@ def _band_kernel(pb, cw, cfirst,
                         out = jnp.where((idx >> 7) == k * ngrp + h, tk,
                                         out)
             xqs.append(out)
-        xq = jnp.concatenate(xqs, axis=1)       # (16, T)
+        return jnp.concatenate(xqs, axis=1)     # (16, T)
+
+    if not df64:
+        panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
+        acc = jnp.zeros((_B, T), acc_dtype)
+        for cb in range(c_cols):
+            xq = gather_xq(panels, cb)
+            for j in range(_B):
+                acc = acc + (val_ref[0, cb, j].astype(acc_dtype)
+                             * xq[j, :][None, :])
+        _write_out(i, cfirst, acc, out_ref)
+        return
+    # double-f32: panels carry (hi, lo) planes, A carries (a1, a2, vl)
+    # parts, the hi/lo sums leave through two outputs
+    out_lo_ref = refs[-1]
+    panels_h = [pr[0, 0] for pr in panel_refs]
+    panels_l = [pr[0, 1] for pr in panel_refs]
+    sh = jnp.zeros((_B, T), jnp.float32)
+    sm = jnp.zeros((_B, T), jnp.float32)
+    cm = jnp.zeros((_B, T), jnp.float32)
+    for cb in range(c_cols):
+        xh = gather_xq(panels_h, cb)
+        xl = gather_xq(panels_l, cb)
+        b1, b2 = _x_split(xh)
         for j in range(_B):
-            acc = acc + (val_ref[0, cb, j].astype(acc_dtype)
-                         * xq[j, :][None, :])
-    _write_out(i, cfirst, acc, out_ref)
+            sh, sm, cm = _df64_mac(
+                sh, sm, cm,
+                val_ref[0, 3 * cb, j], val_ref[0, 3 * cb + 1, j],
+                val_ref[0, 3 * cb + 2, j],
+                b1[j, :][None, :], b2[j, :][None, :],
+                xh[j, :][None, :], xl[j, :][None, :])
+    _write_out_df64(i, cfirst, sh, sm, out_ref, out_lo_ref)
 
 
-def _panel_spec(k: int, k_panels: int):
+def _panel_spec(k: int, k_panels: int, df64: bool = False):
     """BlockSpec fetching the step's k-th x panel by scalar-prefetch id
-    (double-buffered by the Mosaic pipeline)."""
+    (double-buffered by the Mosaic pipeline). df64 panels carry a (hi,
+    lo) f32 plane pair."""
+    if df64:
+        return pl.BlockSpec(
+            (1, 2, _B, PANEL_TC),
+            lambda i, pb, cw, cfirst, k=k: (pb[i * k_panels + k], 0, 0,
+                                            0),
+            memory_space=pltpu.VMEM)
     return pl.BlockSpec(
         (1, _B, PANEL_TC),
         lambda i, pb, cw, cfirst, k=k: (pb[i * k_panels + k], 0, 0),
         memory_space=pltpu.VMEM)
 
 
-def _grid_spec(nsteps, k_panels, tensor_specs, extra_vmem: int = 0):
+def _grid_spec(nsteps, k_panels, tensor_specs, extra_vmem: int = 0,
+               df64: bool = False, n_out: int = 1):
+    ospec = pl.BlockSpec(
+        (_B, ROW_WINDOW),
+        lambda i, pb, cw, cfirst: (0, cw[i]),
+        memory_space=pltpu.VMEM)
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nsteps,),
-        in_specs=([_panel_spec(k, k_panels) for k in range(k_panels)]
+        in_specs=([_panel_spec(k, k_panels, df64)
+                   for k in range(k_panels)]
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * extra_vmem
                   + tensor_specs),
-        out_specs=pl.BlockSpec(
-            (_B, ROW_WINDOW),
-            lambda i, pb, cw, cfirst: (0, cw[i]),
-            memory_space=pltpu.VMEM),
+        out_specs=(ospec, ospec) if n_out == 2 else ospec,
     )
 
 
@@ -290,25 +438,29 @@ def _chunk_spec(shape_tail, lead: int = 1):
 
 
 def dense_class_call(d: DenseChunks, x_panels: jax.Array, n_windows: int,
-                     interpret: bool = False) -> jax.Array:
-    """Run the dense-tile class; returns y2dT (16, n_windows*ROW_WINDOW)."""
-    acc_dtype = (jnp.float32 if x_panels.dtype != jnp.float64
-                 else jnp.float64)
+                     interpret: bool = False):
+    """Run the dense-tile class; returns y2dT (16, n_windows*ROW_WINDOW)
+    — a (hi, lo) f32 pair when the class is double-f32."""
     kernel = functools.partial(_dense_kernel, t=d.t_lanes,
                                k_panels=d.k_panels, c_batch=d.c_batch,
-                               acc_dtype=acc_dtype, interpret=interpret)
+                               acc_dtype=jnp.float32, df64=d.df64,
+                               interpret=interpret)
+    vrows = 3 * _B if d.df64 else _B
     tensor_specs = [
-        _chunk_spec((_B, _B, d.t_lanes), lead=d.c_batch),        # val
+        _chunk_spec((vrows, _B, d.t_lanes), lead=d.c_batch),     # val
         _chunk_spec((DENSE_MROWS, d.t_lanes), lead=d.c_batch),   # meta
     ]
     nsteps = d.cw.shape[0]
-    return pl.pallas_call(
-        kernel,
-        grid_spec=_grid_spec(nsteps, d.k_panels, tensor_specs),
-        out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
-                                       acc_dtype),
-        interpret=interpret,
-    )(d.pb, d.cw, d.cfirst, *([x_panels] * d.k_panels), d.val, d.meta)
+    oshape = jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
+                                  jnp.float32)
+    with _x32_trace():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=_grid_spec(nsteps, d.k_panels, tensor_specs,
+                                 df64=d.df64, n_out=2 if d.df64 else 1),
+            out_shape=(oshape, oshape) if d.df64 else oshape,
+            interpret=interpret,
+        )(d.pb, d.cw, d.cfirst, *([x_panels] * d.k_panels), d.val, d.meta)
 
 
 def sparse_class_call(s: SparseChunks, x_panels: jax.Array,
@@ -327,38 +479,45 @@ def sparse_class_call(s: SparseChunks, x_panels: jax.Array,
     ]
     ltri = jnp.asarray(np.tril(np.ones((s.width, s.width), np.float32)))
     nsteps = s.cw.shape[0]
-    return pl.pallas_call(
-        kernel,
-        grid_spec=_grid_spec(nsteps, s.k_panels, tensor_specs,
-                             extra_vmem=1),
-        out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
-                                       acc_dtype),
-        interpret=interpret,
-    )(s.pb, s.cw, s.cfirst, *([x_panels] * s.k_panels), ltri, s.val,
-      s.meta)
+    with _x32_trace():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=_grid_spec(nsteps, s.k_panels, tensor_specs,
+                                 extra_vmem=1),
+            out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
+                                           acc_dtype),
+            interpret=interpret,
+        )(s.pb, s.cw, s.cfirst, *([x_panels] * s.k_panels), ltri, s.val,
+          s.meta)
 
 
 def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
-                    interpret: bool = False) -> jax.Array:
-    """Run the brick class; returns y2dT (16, n_windows*ROW_WINDOW)."""
-    acc_dtype = (jnp.float32 if x_panels.dtype != jnp.float64
-                 else jnp.float64)
+                    interpret: bool = False):
+    """Run the brick class; returns y2dT (16, n_windows*ROW_WINDOW) —
+    a (hi, lo) f32 pair when the class is double-f32."""
+    acc_dtype = jnp.float32
     kernel = functools.partial(_band_kernel, c_cols=bd.c_cols,
-                               k_panels=bd.k_panels,
+                               k_panels=bd.k_panels, df64=bd.df64,
                                acc_dtype=acc_dtype, interpret=interpret)
     nsteps = bd.cw.shape[0]
+    vparts = 3 if bd.df64 else 1
     tensor_specs = [
-        _chunk_spec((bd.c_cols, _B, _B, ROW_WINDOW), lead=1),    # val
+        _chunk_spec((vparts * bd.c_cols, _B, _B, ROW_WINDOW),
+                    lead=1),                                     # val
         _chunk_spec((1, ROW_WINDOW), lead=1),                    # bloc
     ]
-    return pl.pallas_call(
-        kernel,
-        grid_spec=_grid_spec(nsteps, bd.k_panels, tensor_specs),
-        out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
-                                       acc_dtype),
-        interpret=interpret,
-    )(bd.pb, bd.cw, bd.cfirst, *([x_panels] * bd.k_panels), bd.val,
-      bd.bloc)
+    oshape = jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
+                                  jnp.float32)
+    out_shape = (oshape, oshape) if bd.df64 else oshape
+    with _x32_trace():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=_grid_spec(nsteps, bd.k_panels, tensor_specs,
+                                 df64=bd.df64, n_out=2 if bd.df64 else 1),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(bd.pb, bd.cw, bd.cfirst, *([x_panels] * bd.k_panels), bd.val,
+          bd.bloc)
 
 
 def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch
@@ -471,22 +630,30 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
             lambda i, sbase, cw, cfirst: (0, cw[i]),
             memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((SUBS, n_windows * LANES), acc_dtype),
-        interpret=interpret,
-    )(sc.sbase, sc.cw, sc.cfirst, x2d128, ltri, sc.val, sc.vidx,
-      sc.planes)
+    with _x32_trace():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((SUBS, n_windows * LANES),
+                                           acc_dtype),
+            interpret=interpret,
+        )(sc.sbase, sc.cw, sc.cfirst, x2d128, ltri, sc.val, sc.vidx,
+          sc.planes)
 
 
 def x_to_panels(plan: LanePlan, x: jax.Array) -> jax.Array:
     """x as (n_panels, 16, PANEL_TC) transposed panels: [p, j, c] =
     x[p*PANEL_TC*16 + c*16 + j] (full-lane VMEM layout; one XLA transpose
-    per call)."""
+    per call). For f64 x, returns (n_panels, 2, 16, PANEL_TC) f32 (hi,
+    lo) panel pairs (hi + lo == x exactly)."""
     b = plan.tile_size
     x_pad = jnp.zeros(plan.x_padded_len, dtype=x.dtype).at[: plan.n].set(x)
-    return x_pad.reshape(plan.n_panels, PANEL_TC, b).transpose(0, 2, 1)
+    p = x_pad.reshape(plan.n_panels, PANEL_TC, b).transpose(0, 2, 1)
+    if x.dtype != jnp.float64:
+        return p
+    hi = p.astype(jnp.float32)
+    lo = (p - hi.astype(jnp.float64)).astype(jnp.float32)
+    return jnp.stack([hi, lo], axis=1)
 
 
 def spmv_pallas(plan: LanePlan, x: jax.Array,
@@ -494,6 +661,7 @@ def spmv_pallas(plan: LanePlan, x: jax.Array,
     """y = A @ x with the Pallas engines. Jittable."""
     x_panels = x_to_panels(plan, x)
 
+    df64 = x.dtype == jnp.float64
     parts = []
     if plan.dense is not None:
         parts.append(dense_class_call(plan.dense, x_panels, plan.n_windows,
@@ -505,7 +673,13 @@ def spmv_pallas(plan: LanePlan, x: jax.Array,
         parts.append(sparse_class_call(s, x_panels, plan.n_windows,
                                        interpret=interpret))
     if parts:
-        y2dt = functools.reduce(jnp.add, parts)
+        if df64:
+            # (hi, lo) pairs: promote to f64 at the XLA level
+            y2dt = functools.reduce(
+                jnp.add, [p[0].astype(jnp.float64)
+                          + p[1].astype(jnp.float64) for p in parts])
+        else:
+            y2dt = functools.reduce(jnp.add, parts)
         y = y2dt.T.reshape(-1)  # (n_windows*RW*16,) global row order
     else:
         y = jnp.zeros(plan.y_padded_len, dtype=x.dtype)

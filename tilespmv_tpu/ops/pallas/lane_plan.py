@@ -122,6 +122,8 @@ class DenseChunks:
                                       metadata=dict(static=True))
     c_batch: int = dataclasses.field(default=1,
                                      metadata=dict(static=True))
+    df64: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -138,6 +140,8 @@ class BandChunks:
     c_cols: int = dataclasses.field(metadata=dict(static=True))
     k_panels: int = dataclasses.field(default=BAND_K,
                                       metadata=dict(static=True))
+    df64: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -328,6 +332,19 @@ def _all_entries(tm: TileMatrix):
     return trow, tcol, counts, r[order_e], c[order_e], v[order_e]
 
 
+def df64_split(v: np.ndarray):
+    """f64 -> (a1, a2, vl) f32 triple: vh = a1 + a2 exactly with 12-bit
+    mantissas (Dekker pre-split, so in-kernel products a*b are EXACT in
+    f32 — the v5e VPU does not contract mul-sub into an FMA, measured),
+    and vl = v - vh captures the f64 tail to ~2^-48."""
+    vh = v.astype(np.float32)
+    vl = (v - vh.astype(np.float64)).astype(np.float32)
+    t = np.float32(4097.0) * vh
+    a1 = t - (t - vh)
+    a2 = vh - a1
+    return a1, a2, vl
+
+
 def _densify(trow, tcol, counts, r, c, v, b: int):
     """(nt, b, b) dense blocks from per-tile triplets (tiles stay in
     order)."""
@@ -409,7 +426,8 @@ def _pick_t(trow: np.ndarray, tcol: np.ndarray, tilem: int) -> int:
 
 
 def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
-                    t_lanes: int, k_panels: int, c_batch: int = 1):
+                    t_lanes: int, k_panels: int, c_batch: int = 1,
+                    unique_rows: bool = False):
     """Cut row-window-local grid *steps* of `c_batch` chunks x `t_lanes`
     tiles over <= `k_panels` distinct x panels per step.
 
@@ -442,12 +460,27 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
             newp = np.ones(s.size, bool)
             newp[1:] = pan[1:] != pan[:-1]
             prank = np.cumsum(newp) - 1
+            if unique_rows:
+                # double-f32 classes: a window column must receive at
+                # most ONE tile per step (plain f32 adds inside the
+                # one-hot scatter would lose the compensated precision),
+                # so close a step before a tile-row repeats
+                prev = {}
+                dup_after = np.full(s.size, s.size, np.int64)
+                for pos, rr in enumerate(trow[s]):
+                    if rr in prev:
+                        dup_after[prev[rr]] = min(dup_after[prev[rr]],
+                                                  pos)
+                    prev[rr] = pos
+                dup_lim = np.minimum.accumulate(dup_after[::-1])[::-1]
             start = 0
             while start < s.size:
                 # close at cap tiles or at the K-th new panel
                 stop = int(np.searchsorted(prank, prank[start] + K,
                                            side="left"))
                 stop = min(stop, start + cap, s.size)
+                if unique_rows:
+                    stop = min(stop, int(dup_lim[start]))
                 step_tiles = s[start:stop]
                 step_pan = pan[start:stop]
                 pans = np.unique(step_pan)
@@ -626,7 +659,10 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
         return None, None
 
     nchunks = n_windows
-    val = np.zeros((nchunks, C, 16, 16, T), cdt)
+    df64 = cdt == np.dtype(np.float64)
+    vparts = 3 if df64 else 1
+    val = np.zeros((nchunks, vparts * C, 16, 16, T),
+                   np.float32 if df64 else cdt)
     bloc = np.zeros((nchunks, 1, T), np.int32)
     pb = np.zeros((nchunks, BAND_K), np.int32)
     tile_mask = np.zeros(nt, bool)
@@ -659,15 +695,23 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
     lane = trow[et] % T
     # np.add (not assign): ELL/HYB pad slots share (row, col 0) with real
     # entries; adding keeps the real value intact (pads add zero)
-    np.add.at(val, (win, cbv, ec[e_sel], er[e_sel], lane),
-              ev[e_sel].astype(cdt))
+    if df64:
+        acc = np.zeros((nchunks, C, 16, 16, T), np.float64)
+        np.add.at(acc, (win, cbv, ec[e_sel], er[e_sel], lane), ev[e_sel])
+        a1, a2, vl = df64_split(acc)
+        val[:, 0::3] = a1
+        val[:, 1::3] = a2
+        val[:, 2::3] = vl
+    else:
+        np.add.at(val, (win, cbv, ec[e_sel], er[e_sel], lane),
+                  ev[e_sel].astype(cdt))
 
     band = BandChunks(
         val=jnp.asarray(val), bloc=jnp.asarray(bloc),
         pb=jnp.asarray(pb.reshape(-1)),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
-        c_cols=C, k_panels=BAND_K)
+        c_cols=C, k_panels=BAND_K, df64=df64)
     return band, tile_mask
 
 
@@ -756,14 +800,25 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         cb = 1 if force_t else _pick_cb(dtr, dtc, tm.tilem, t_lanes, kp,
                                         chunk_bytes)
         kp = 4 if force_t else _pick_k(dtr, dtc, cb * t_lanes)
-        md = _chunk_metadata(dtr, dtc, tm.tilem, t_lanes, kp, cb)
+        md = _chunk_metadata(dtr, dtc, tm.tilem, t_lanes, kp, cb,
+                             unique_rows=cdt == np.dtype(np.float64))
         valid = md["valid"]
         safe = np.where(valid, md["src"], 0)
-        vt = blocks[safe].astype(cdt)       # (nchunks, T, b_i, b_j)
+        df64 = cdt == np.dtype(np.float64)
+        vt = blocks[safe]                   # (nchunks, T, b_i, b_j) f64
         vt[~valid] = 0.0
         # j-major layout (nchunks, b_j, b_i, T): the kernel's j-th FMA step
-        # reads a contiguous (16, T) slab
-        val = np.ascontiguousarray(vt.transpose(0, 3, 2, 1))
+        # reads a contiguous (16, T) slab. df64: three interleaved f32
+        # parts per j (rows 3j, 3j+1, 3j+2 — Dekker pre-split + tail)
+        vt = np.ascontiguousarray(vt.transpose(0, 3, 2, 1))
+        if df64:
+            a1, a2, vl = df64_split(vt)
+            val = np.zeros((vt.shape[0], 3 * b, b, t_lanes), np.float32)
+            val[:, 0::3] = a1
+            val[:, 1::3] = a2
+            val[:, 2::3] = vl
+        else:
+            val = vt.astype(cdt)
         meta = np.zeros((md["nchunks"], DENSE_MROWS, t_lanes), np.int32)
         meta[:, META_XLOC] = md["xloc"]
         meta[:, META_LROW] = md["lrow"]
@@ -771,7 +826,7 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             val=jnp.asarray(val), meta=jnp.asarray(meta),
             pb=jnp.asarray(md["pb"]), cw=jnp.asarray(md["cw"]),
             cfirst=jnp.asarray(md["cfirst"]), t_lanes=t_lanes,
-            k_panels=kp, c_batch=cb)
+            k_panels=kp, c_batch=cb, df64=df64)
         n_windows = max(n_windows, md["n_windows"])
 
     sparses = []

@@ -111,20 +111,28 @@ class TileSpMV:
         if isinstance(a, CSRMatrix):
             a = tile_create(a, config)
         self.tile_matrix: TileMatrix = a
-        if backend == "auto":
-            # Pallas engines need tile_size 16 and f32/bf16 vectors (f64
-            # runs through the XLA engines — the reference's MAT_VAL_TYPE
-            # double, common.h:12; on TPU XLA emulates f64). Everywhere
-            # else Pallas beats the XLA engines by 1-3 orders of magnitude
-            # (XLA gathers/scatters lower to element-serial loops on TPU).
-            is_f64 = jnp.dtype(compute_dtype) == jnp.dtype("float64")
-            backend = ("pallas" if config.tile_size == 16 and not is_f64
-                       else "xla")
-        if (jnp.dtype(compute_dtype).itemsize == 8
-                and not jax.config.jax_enable_x64):
+        is_f64 = jnp.dtype(compute_dtype) == jnp.dtype("float64")
+        if is_f64 and not jax.config.jax_enable_x64:
             raise ValueError(
                 "compute_dtype=float64 requires jax_enable_x64 "
                 "(jax.config.update('jax_enable_x64', True))")
+        if backend == "auto":
+            backend = "pallas" if config.tile_size == 16 else "xla"
+            if backend == "pallas" and is_f64:
+                # f64 runs on the Pallas band/dense classes in double-f32
+                # arithmetic (the reference's MAT_VAL_TYPE double,
+                # common.h:12); matrices needing the sparse/stream
+                # classes fall back to the XLA engines (their f64 device
+                # path) until those grow df64 variants
+                from .pallas.lane_plan import build_lane_plan
+                plan = build_lane_plan(a, compute_dtype=compute_dtype)
+                if plan.sparses or plan.stream is not None:
+                    backend = "xla"
+                else:
+                    self.backend = "pallas"
+                    self.plan = plan
+                    self.compute_dtype = jnp.dtype(compute_dtype)
+                    return
         self.backend = backend
         if backend == "pallas":
             from .pallas.lane_plan import build_lane_plan
