@@ -230,10 +230,15 @@ def load_mtx(path_or_file: Union[str, "_io.TextIOBase"],
 
 
 def save_mtx(path: str, csr: CSRMatrix) -> None:
-    """Write a general real coordinate .mtx (reference mmio.h writers)."""
+    """Write a general real coordinate .mtx (reference mmio.h writers).
+    Bulk-formatted (np.savetxt) — a per-entry Python loop is unusable for
+    writing large matrices."""
     rows = np.repeat(np.arange(csr.m), np.diff(csr.indptr))
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{csr.m} {csr.n} {csr.nnz}\n")
-        for r, c, v in zip(rows + 1, csr.indices + 1, csr.data):
-            f.write(f"{r} {c} {v:.17g}\n")
+        out = np.column_stack([
+            (rows + 1).astype(np.float64),
+            (csr.indices + 1).astype(np.float64),
+            csr.data.astype(np.float64)])
+        np.savetxt(f, out, fmt="%d %d %.17g")
