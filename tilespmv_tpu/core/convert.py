@@ -386,22 +386,14 @@ def tile_create(csr: CSRMatrix,
     dnscol_bucket = DNSColBucket(tile_ids=tid, col_ptr=cptr, col_ids=col_ids,
                                  ptr=vptr, val=dnscol_val)
 
-    # ---- residual COO -> CSR (reference csr2tile.h:899-960) ----
-    rr = np.concatenate(res_rows) if res_rows else np.zeros(0, np.int64)
-    rc = np.concatenate(res_cols) if res_cols else np.zeros(0, np.int64)
-    rv = (np.concatenate(res_vals) if res_vals else np.zeros(0, vdt))
-    ro = np.lexsort((rc, rr))
-    rr, rc, rv = rr[ro], rc[ro], rv[ro]
-    res_indptr = _exclusive_scan(np.bincount(rr, minlength=m)[:m])
-    residual = ResidualCSR(indptr=res_indptr, indices=rc.astype(np.int32),
-                           val=rv)
-
+    # residual COO -> CSR (reference csr2tile.h:899-960) is built
+    # LAZILY by TileMatrix (its global sort costs ~1.5 s at 6M nnz and
+    # only the XLA/CPU paths read it)
     tm = TileMatrix(
         shape=(m, n), nnz=nnz, config=cfg,
         tilem=tilem, tilen=tilen,
         tile_ptr=tile_ptr, tile_rowidx=tile_rowidx,
         tile_columnidx=tile_colidx, tile_nnz=tile_nnz, fmt=fmt,
         csr=csr_bucket, coo=coo_bucket, ell=ell_bucket, hyb=hyb_bucket,
-        dns=dns_bucket, dnsrow=dnsrow_bucket, dnscol=dnscol_bucket,
-        residual=residual)
+        dns=dns_bucket, dnsrow=dnsrow_bucket, dnscol=dnscol_bucket)
     return tm

@@ -17,11 +17,11 @@ from .tile_matrix import (COOBucket, CSRBucket, DNSBucket, DNSColBucket,
                           DNSRowBucket, ELLBucket, HYBBucket, ResidualCSR,
                           TileMatrix)
 
-_BUCKETS = ("csr", "coo", "ell", "hyb", "dns", "dnsrow", "dnscol",
-            "residual")
+# the residual CSR is derived lazily by TileMatrix and not serialized
+_BUCKETS = ("csr", "coo", "ell", "hyb", "dns", "dnsrow", "dnscol")
 _BUCKET_TYPES = dict(csr=CSRBucket, coo=COOBucket, ell=ELLBucket,
                      hyb=HYBBucket, dns=DNSBucket, dnsrow=DNSRowBucket,
-                     dnscol=DNSColBucket, residual=ResidualCSR)
+                     dnscol=DNSColBucket)
 
 
 def save_tile_matrix(path: str, tm: TileMatrix) -> None:

@@ -170,7 +170,56 @@ class TileMatrix:
     dns: DNSBucket
     dnsrow: DNSRowBucket
     dnscol: DNSColBucket
-    residual: ResidualCSR
+    # Lazy: the residual CSR is derivable from the COO bucket + HYB
+    # overflow, and its global sort costs ~1.5 s on 6M-nnz matrices —
+    # only the XLA engines and the CPU reference consume it, so it is
+    # built on first access (reference builds it eagerly,
+    # csr2tile.h:899-960; semantics identical)
+    residual_: Optional[ResidualCSR] = None
+
+    @property
+    def residual(self) -> ResidualCSR:
+        if self.residual_ is None:
+            object.__setattr__(self, "residual_", self._build_residual())                 if hasattr(self, "__dict__") else None
+            if self.residual_ is None:   # frozen-safe fallback
+                self.__dict__["residual_"] = self._build_residual()
+        return self.residual_
+
+    def _build_residual(self) -> ResidualCSR:
+        b = self.config.tile_size
+        rows, cols, vals = [], [], []
+        bk = self.coo
+        if bk.num_tiles:
+            counts = np.diff(bk.nnz_ptr)
+            owner = np.repeat(np.arange(bk.num_tiles), counts)
+            rows.append(self.tile_rowidx[bk.tile_ids[owner]].astype(
+                np.int64) * b + bk.row)
+            cols.append(self.tile_columnidx[bk.tile_ids[owner]].astype(
+                np.int64) * b + bk.col)
+            vals.append(bk.val)
+        hb = self.hyb
+        if hb.num_tiles and hb.coo_val.size:
+            sizes = np.diff(hb.coo_ptr)
+            owner = np.repeat(np.arange(hb.num_tiles), sizes)
+            rows.append(self.tile_rowidx[hb.tile_ids[owner]].astype(
+                np.int64) * b + hb.coo_row)
+            cols.append(self.tile_columnidx[hb.tile_ids[owner]].astype(
+                np.int64) * b + hb.coo_col)
+            vals.append(hb.coo_val)
+        if rows:
+            rr = np.concatenate(rows)
+            rc = np.concatenate(cols)
+            rv = np.concatenate(vals)
+            ro = np.argsort(rr * (self.n + b) + rc, kind="stable")
+            rr, rc, rv = rr[ro], rc[ro], rv[ro]
+        else:
+            rr = np.zeros(0, np.int64)
+            rc = np.zeros(0, np.int64)
+            rv = np.zeros(0, self.csr.val.dtype)
+        indptr = np.concatenate(
+            [[0], np.cumsum(np.bincount(rr, minlength=self.m)[: self.m])])
+        return ResidualCSR(indptr=indptr.astype(np.int64),
+                           indices=rc.astype(np.int32), val=rv)
 
     @property
     def tilenum(self) -> int:

@@ -322,13 +322,16 @@ def _all_entries(tm: TileMatrix):
     c = np.concatenate(c_all)
     v = np.concatenate(v_all)
 
-    # sort tiles by (trow, tcol); entries by (tile, row, col)
-    order_t = np.lexsort((tcol, trow))
+    # sort tiles by (trow, tcol); entries by (tile, row, col) — composite
+    # single-key argsorts (~3x cheaper than lexsort at this scale)
+    tilen_span = int(tcol.max()) + 1 if ntiles else 1
+    order_t = np.argsort(trow * tilen_span + tcol, kind="stable")
     rank_t = np.empty(ntiles, np.int64)
     rank_t[order_t] = np.arange(ntiles)
     trow, tcol = trow[order_t], tcol[order_t]
     counts = np.bincount(rank_t[owner], minlength=ntiles)
-    order_e = np.lexsort((c, r, rank_t[owner]))
+    order_e = np.argsort((rank_t[owner] << 8) | (r << 4) | c,
+                         kind="stable")
     return trow, tcol, counts, r[order_e], c[order_e], v[order_e]
 
 
@@ -753,11 +756,13 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         er = np.concatenate([er, bk.row.astype(np.int64)])
         ec = np.concatenate([ec, bk.col.astype(np.int64)])
         ev = np.concatenate([ev, bk.val.astype(np.float64)])
-        order_t = np.lexsort((tcol, trow))
+        order_t = np.argsort(trow * (int(tcol.max()) + 1) + tcol,
+                             kind="stable")
         rank_t = np.empty(trow.shape[0], np.int64)
         rank_t[order_t] = np.arange(trow.shape[0])
         e_owner = np.repeat(np.arange(trow.shape[0]), counts)
-        order_e = np.lexsort((ec, er, rank_t[e_owner]))
+        order_e = np.argsort((rank_t[e_owner] << 8) | (er << 4) | ec,
+                             kind="stable")
         trow, tcol, counts = trow[order_t], tcol[order_t], counts[order_t]
         er, ec, ev = er[order_e], ec[order_e], ev[order_e]
 
