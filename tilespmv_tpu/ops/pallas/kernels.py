@@ -520,7 +520,7 @@ def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
           bd.bloc)
 
 
-def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch
+def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
                    x2d_ref, ltri_ref, val_ref, vidx_ref, planes_ref,
                    out_ref,                          # output
                    *, s_batch: int, rounds: int, acc_dtype,
@@ -529,8 +529,25 @@ def _stream_kernel(sbase, cw, cfirst,               # scalar prefetch
     slab superspan, prefix-sum by one batched matmul, then 3-gather
     boundary-difference scatter rounds (see stream_plan.py module doc).
     Slab bodies are independent chains so Mosaic can interleave their
-    gather latencies."""
+    gather latencies. Steps whose slabs are all empty (load-sorted
+    padding) skip the whole body."""
     i = pl.program_id(0)
+
+    @pl.when((sactive[i] == 0) & (cfirst[i] == 1))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(sactive[i] == 1)
+    def _():
+        _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
+                     planes_ref, out_ref, i, s_batch=s_batch,
+                     rounds=rounds, acc_dtype=acc_dtype,
+                     interpret=interpret)
+
+
+def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
+                 planes_ref, out_ref, i, *, s_batch, rounds, acc_dtype,
+                 interpret):
     contribs = []
     for s in range(s_batch):
         si = i * s_batch + s
@@ -616,7 +633,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                                rounds=sc.rounds, acc_dtype=acc_dtype,
                                interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x2d128
@@ -627,7 +644,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
         ],
         out_specs=pl.BlockSpec(
             (SUBS, LANES),
-            lambda i, sbase, cw, cfirst: (0, cw[i]),
+            lambda i, sbase, cw, cfirst, sactive: (0, cw[i]),
             memory_space=pltpu.VMEM),
     )
     with _x32_trace():
@@ -637,8 +654,8 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
             out_shape=jax.ShapeDtypeStruct((SUBS, n_windows * LANES),
                                            acc_dtype),
             interpret=interpret,
-        )(sc.sbase, sc.cw, sc.cfirst, x2d128, ltri, sc.val, sc.vidx,
-          sc.planes)
+        )(sc.sbase, sc.cw, sc.cfirst, sc.sactive, x2d128, ltri, sc.val,
+          sc.vidx, sc.planes)
 
 
 def x_to_panels(plan: LanePlan, x: jax.Array) -> jax.Array:

@@ -789,6 +789,12 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         cnt_k = int(np.sum(widx == k))
         if 0 < cnt_k < MIN_CLASS_TILES:
             widx[widx == k] = k + 1
+    # small matrices: one kernel launch costs more than the padding a
+    # single merged class wastes — collapse all sparse classes into the
+    # widest one in use
+    sp_mask = widx < len(W_CHOICES)
+    if 0 < int(sp_mask.sum()) < 4 * MIN_CLASS_TILES:
+        widx[sp_mask] = int(widx[sp_mask].max())
     dense_mask = widx >= len(W_CHOICES)
 
     entry_owner = np.repeat(np.arange(trow.shape[0]), counts)

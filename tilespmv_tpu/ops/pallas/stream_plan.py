@@ -82,6 +82,9 @@ class StreamChunks:
     sbase: Any    # (nslabs,) int32: x2d128 row base of the superspan
     cw: Any       # (nsteps,) int32: output window id
     cfirst: Any   # (nsteps,) int32: 1 = first step of its window
+    sactive: Any  # (nsteps,) int32: 0 = every slab in the step is empty
+    #               (slabs are load-sorted per window, so padding slabs
+    #                cluster into skippable steps)
 
     s_batch: int = dataclasses.field(metadata=dict(static=True))
     rounds_: int = dataclasses.field(default=ROUNDS,
@@ -115,6 +118,7 @@ def empty_stream_chunks(n_windows: int,
         sbase=jnp.zeros(ns, jnp.int32),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
+        sactive=jnp.zeros(n_windows, jnp.int32),
         s_batch=s_batch, rounds_=rounds)
 
 
@@ -154,15 +158,11 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
         from ...core import native
         raw = native.stream_plan(g_row, g_col, val, m, s_batch)
         if raw is not None:
-            return StreamChunks(
-                val=jnp.asarray(raw["val"]),
-                vidx=jnp.asarray(raw["vidx"]),
-                planes=jnp.asarray(raw["planes"]),
-                sbase=jnp.asarray(raw["sbase"]),
-                cw=jnp.asarray(raw["cw"]),
-                cfirst=jnp.asarray(raw["cfirst"]),
-                s_batch=raw["s_batch"],
-                rounds_=raw["rounds"]), empty_spill
+            win_full = np.repeat(raw["cw"], raw["s_batch"])
+            return _finish_stream(raw["val"], raw["vidx"], raw["planes"],
+                                  raw["sbase"], win_full,
+                                  raw["s_batch"], raw["rounds"]), \
+                empty_spill
 
     win = (g_row >> 10).astype(np.int64)
     span = (g_col >> 13).astype(np.int64)    # aligned 8192-value superspan
@@ -277,10 +277,30 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
         sl, tt, jj = np.nonzero(un)
         planes[sl, tt * 3 * SUBS + 2 * SUBS + q, jj] = first_free[un]
 
-    win_step = np.repeat(np.arange(n_windows), slabs_pad)[::s_batch]
+    win_arr = np.repeat(np.arange(n_windows), slabs_pad)
+    return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
+                          s_batch, rounds), empty_spill
+
+
+def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
+                   rounds) -> StreamChunks:
+    """Order slabs by load within each window (so empty padding slabs
+    cluster into trailing steps the kernel can skip) and build the
+    per-step control scalars."""
+    nslabs = val_arr.shape[0]
+    load = np.count_nonzero(val_arr.reshape(nslabs, -1), axis=1)
+    order = np.lexsort((-load, win_arr))
+    val_arr = val_arr[order]
+    vidx_arr = vidx_arr[order]
+    planes = planes[order]
+    sbase = sbase[order]
+    load = load[order]
+
+    win_step = win_arr[::s_batch]
     cw = win_step.astype(np.int32)
     cfirst = np.ones(cw.shape[0], np.int32)
     cfirst[1:] = (win_step[1:] != win_step[:-1]).astype(np.int32)
+    sactive = (load.reshape(-1, s_batch).sum(axis=1) > 0).astype(np.int32)
 
     return StreamChunks(
         val=jnp.asarray(val_arr),
@@ -289,4 +309,5 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
         sbase=jnp.asarray(sbase),
         cw=jnp.asarray(cw),
         cfirst=jnp.asarray(cfirst),
-        s_batch=s_batch, rounds_=rounds), empty_spill
+        sactive=jnp.asarray(sactive),
+        s_batch=s_batch, rounds_=rounds)

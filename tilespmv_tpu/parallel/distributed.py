@@ -285,6 +285,8 @@ def _unify_lane_plans(plans: list) -> list:
                     [s.cw, jnp.full(xsteps, nw2 - 1, jnp.int32)]),
                 cfirst=jnp.concatenate(
                     [s.cfirst, jnp.zeros(xsteps, jnp.int32)]),
+                sactive=jnp.concatenate(
+                    [s.sactive, jnp.zeros(xsteps, jnp.int32)]),
                 s_batch=s.s_batch, rounds_=rounds)
         streams = [pad_stream(s) for s in per]
 
