@@ -520,6 +520,93 @@ def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
           bd.bloc)
 
 
+def _band_spmm_kernel(pb, cw, cfirst,
+                      *refs,       # panels, val, bloc, out
+                      c_cols: int, k_panels: int, k_rhs: int, acc_dtype,
+                      interpret: bool = False):
+    """Fused multi-RHS brick kernel: A's val blocks stream from HBM ONCE
+    for all k right-hand sides (the vmapped SpMM re-reads A per RHS).
+    Panels carry the k RHS x planes stacked in the lane dim."""
+    panel_refs = refs[:k_panels]
+    val_ref, bloc_ref, out_ref = refs[k_panels:]
+    panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
+    i = pl.program_id(0)
+    T = ROW_WINDOW
+    bloc = bloc_ref[0, 0]                       # (T,) int32
+    ngrp = PANEL_TC // 128
+    accs = [jnp.zeros((_B, T), acc_dtype) for _ in range(k_rhs)]
+    for cb in range(c_cols):
+        loc = bloc + cb
+        xqs = []
+        for r in range(k_rhs):
+            parts = []
+            for g0 in range(0, T, 128):
+                idx = jnp.broadcast_to(loc[g0:g0 + 128][None, :],
+                                       (_B, 128))
+                out = None
+                for k in range(k_panels):
+                    for h in range(ngrp):
+                        src = panels[k][:, (r * ngrp + h) * 128:
+                                        (r * ngrp + h + 1) * 128]
+                        tk = jnp.take_along_axis(src, idx & 127, axis=1)
+                        if out is None:
+                            out = tk
+                        else:
+                            out = jnp.where((idx >> 7) == k * ngrp + h,
+                                            tk, out)
+                parts.append(out)
+            xqs.append(jnp.concatenate(parts, axis=1))
+        for j in range(_B):
+            slab = val_ref[0, cb, j].astype(acc_dtype)
+            for r in range(k_rhs):
+                accs[r] = accs[r] + slab * xqs[r][j, :][None, :]
+    blk = jnp.concatenate(accs, axis=0)          # (k*16, T)
+    _write_out(i, cfirst, blk, out_ref)
+
+
+def band_spmm_call(bd: BandChunks, x_panels_k: jax.Array, n_windows: int,
+                   k_rhs: int, interpret: bool = False) -> jax.Array:
+    """Fused band SpMM; x_panels_k is (n_panels, 16, k*PANEL_TC) with
+    RHS r's panel at lanes [r*256, (r+1)*256). Returns
+    (k*16, n_windows*ROW_WINDOW)."""
+    acc_dtype = jnp.float32
+    kernel = functools.partial(_band_spmm_kernel, c_cols=bd.c_cols,
+                               k_panels=bd.k_panels, k_rhs=k_rhs,
+                               acc_dtype=acc_dtype, interpret=interpret)
+    nsteps = bd.cw.shape[0]
+    tensor_specs = [
+        _chunk_spec((bd.c_cols, _B, _B, ROW_WINDOW), lead=1),    # val
+        _chunk_spec((1, ROW_WINDOW), lead=1),                    # bloc
+    ]
+
+    def panel_spec(k, K):
+        return pl.BlockSpec(
+            (1, _B, k_rhs * PANEL_TC),
+            lambda i, pb, cw, cfirst, k=k: (pb[i * K + k], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    ospec = pl.BlockSpec(
+        (k_rhs * _B, ROW_WINDOW),
+        lambda i, pb, cw, cfirst: (0, cw[i]),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nsteps,),
+        in_specs=([panel_spec(k, bd.k_panels)
+                   for k in range(bd.k_panels)] + tensor_specs),
+        out_specs=ospec,
+    )
+    with _x32_trace():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (k_rhs * _B, n_windows * ROW_WINDOW), acc_dtype),
+            interpret=interpret,
+        )(bd.pb, bd.cw, bd.cfirst, *([x_panels_k] * bd.k_panels), bd.val,
+          bd.bloc)
+
+
 def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
                    x2d_ref, ltri_ref, val_ref, vidx_ref, planes_ref,
                    out_ref,                          # output

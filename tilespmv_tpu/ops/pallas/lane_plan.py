@@ -656,9 +656,13 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
     # coverage guards: enough windows and enough fill to justify the
     # per-window zero-padded brick chunks
     nsel_w = int(okw.sum())
-    fill = float(snnz[ok].sum()) / (nsel_w * C * 256 * T)
+    # fill over the LANES the class will actually occupy (selected
+    # stripes), plus a window-coverage guard for the per-window padding
+    fill = float(snnz[ok].sum()) / (max(1, int(ok.sum())) * C * 256)
+    lane_frac = int(ok.sum()) / (nsel_w * T)
     if (nsel_w < BAND_MIN_WINDOW_FRAC * n_windows
-            or fill < BAND_MIN_CLASS_FILL):
+            or fill < BAND_MIN_CLASS_FILL
+            or lane_frac < 0.25 * min(1.0, tilem / T)):
         return None, None
 
     nchunks = n_windows

@@ -68,14 +68,31 @@ def spmv(plan, x: jax.Array, backend: str = "xla") -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("backend",))
 def spmm(plan, xs: jax.Array, backend: str = "xla") -> jax.Array:
-    """Y = A @ X for X of shape (n, k): vmapped SpMV over the compiled
-    plan (the plan operands are shared across the k right-hand sides).
-
-    Beyond-reference capability (the reference is SpMV-only). A fused
-    k-wide dense-class kernel was measured SLOWER than the vmap on v5e
-    (the per-chunk (SPAN, 16k) span transpose dominates), so the vmap is
-    the shipped path.
-    """
+    """Y = A @ X for X of shape (n, k): the band (brick) class runs a
+    FUSED multi-RHS kernel (A's blocks stream from HBM once for all k —
+    the pre-transposed panel layout removed the per-chunk transpose that
+    made the round-1 fused attempt lose); everything else is a vmapped
+    SpMV over the shared compiled plan. Beyond-reference capability (the
+    reference is SpMV-only)."""
+    from .pallas.lane_plan import LanePlan
+    k = xs.shape[1]
+    if (backend == "pallas" and isinstance(plan, LanePlan)
+            and plan.band is not None and not plan.band.df64
+            and plan.dense is None and not plan.sparses
+            and plan.stream is None and plan.residual.val.shape[0] == 0
+            and 2 <= k <= 16):
+        from .pallas.kernels import PANEL_TC, band_spmm_call, x_to_panels
+        import jax.numpy as jnp
+        interp = jax.default_backend() == "cpu"
+        panels = [x_to_panels(plan, xs[:, r]) for r in range(k)]
+        # (n_panels, 16, k*PANEL_TC), RHS r at lanes [r*256, (r+1)*256)
+        xk = jnp.concatenate(panels, axis=2)
+        out = band_spmm_call(plan.band, xk, plan.n_windows, k,
+                             interpret=interp)
+        # rows [r*16:(r+1)*16] = RHS r's y2dT
+        cols = [out[r * 16:(r + 1) * 16].T.reshape(-1)[: plan.m]
+                for r in range(k)]
+        return jnp.stack(cols, axis=1).astype(xs.dtype)
     f = functools.partial(spmv, backend=backend)
     return jax.vmap(f, in_axes=(None, 1), out_axes=1)(plan, xs)
 
