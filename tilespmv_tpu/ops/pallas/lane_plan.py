@@ -70,8 +70,12 @@ ROW_WINDOW = 256       # tile-rows per output block (16 x 256 floats = 16KB)
 
 # sparse-entry class widths (slot 0 is a reserved zero pad, so a width-W
 # class holds tiles with <= W-1 stored entries); tiles at or above
-# DENSE_MIN_NNZ stored entries densify instead (the measured crossover
-# where streaming the 1 KB block beats index decode)
+# DENSE_MIN_NNZ stored entries densify instead. Crossover measured TWICE
+# on v5e with conflicting answers (BASELINE.md): isolated uniform 16k-tile
+# populations prefer dense from ~64 entries (clean 1 KB streams), but on
+# mixed_large the W96 class beats densifying its scattered ~80-entry ELL
+# tiles (13.5 vs ~31 us — fragmented dense chunks waste lanes and HBM).
+# The in-situ evidence wins: keep the wide classes.
 W_CHOICES = (16, 24, 32, 48, 64, 96)
 DENSE_MIN_NNZ = 96
 SPARSE_T = 128         # sparse classes pin T=128 (sublane-gather shapes)
