@@ -31,6 +31,11 @@ import sys
 FLAGSHIP = ["banded_large", "powerlaw_large", "mixed_large"]
 ROOFLINE_TARGET = 0.90
 IDEAL_BYTES_PER_NNZ = 5.0    # 4B f32 value + 1B intra-tile index
+# per-matrix regression floors (round-2 measurements + 25% headroom for
+# the tunnel's run-to-run variance): a regression on one matrix must not
+# hide behind an aggregate improvement (round-1 verdict, weak item 3)
+FLOORS_MS = {"banded_large": 0.105, "powerlaw_large": 1.35,
+             "mixed_large": 0.24}
 
 
 def main() -> int:
@@ -76,6 +81,10 @@ def main() -> int:
             if best is None or res.ms < best.ms:
                 best = res
         res = best
+        if res.ms > FLOORS_MS.get(name, float("inf")):
+            print(f"# WARNING: {name} regressed past its floor "
+                  f"({res.ms:.4f} ms > {FLOORS_MS[name]} ms)",
+                  file=sys.stderr)
         details.append(res)
         ideal_mb = (res.nnz * IDEAL_BYTES_PER_NNZ
                     + 4.0 * (csr.n + csr.m)) / 1e6

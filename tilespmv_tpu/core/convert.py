@@ -287,7 +287,7 @@ def tile_create(csr: CSRMatrix,
         tile_ids=tid,
         nnz_ptr=_exclusive_scan(counts[tid]),
         rowptr=row_start[rs_local[tid]].astype(np.uint8),
-        val=val_s[sel].astype(vdt),
+        val=np.asarray(val_s[sel], dtype=vdt),
         col=ci_s[sel],
         row=ri_s[sel],
     )
@@ -297,16 +297,10 @@ def tile_create(csr: CSRMatrix,
     coo_bucket = COOBucket(
         tile_ids=tid,
         nnz_ptr=_exclusive_scan(counts[tid]),
-        val=val_s[sel].astype(vdt),
+        val=np.asarray(val_s[sel], dtype=vdt),
         row=ri_s[sel],
         col=ci_s[sel],
     )
-    res_rows = [tile_rowidx[tile_of_nnz[sel]].astype(np.int64) * b
-                + ri_s[sel]]
-    res_cols = [tile_colidx[tile_of_nnz[sel]].astype(np.int64) * b
-                + ci_s[sel]]
-    res_vals = [val_s[sel].astype(vdt)]
-
     # ---- ELL bucket (reference csr2tile.h:485-504) ----
     tid, sel, local = bucket_select(FMT_ELL)
     sizes = ell_width[tid].astype(np.int64) * rowlen[tid]
@@ -337,15 +331,8 @@ def tile_create(csr: CSRMatrix,
     hyb_bucket = HYBBucket(
         tile_ids=tid, width=hyb_width[tid], ell_ptr=heptr,
         ell_val=hyb_ell_val, ell_col=hyb_ell_col, coo_ptr=hcptr,
-        coo_val=val_s[over].astype(vdt), coo_row=ri_s[over],
+        coo_val=np.asarray(val_s[over], dtype=vdt), coo_row=ri_s[over],
         coo_col=ci_s[over])
-    if over.any():
-        res_rows.append(tile_rowidx[tile_of_nnz[over]].astype(np.int64) * b
-                        + ri_s[over])
-        res_cols.append(tile_colidx[tile_of_nnz[over]].astype(np.int64) * b
-                        + ci_s[over])
-        res_vals.append(val_s[over].astype(vdt))
-
     # ---- dense bucket (reference csr2tile.h:549-567) ----
     tid, sel, local = bucket_select(FMT_DNS)
     sizes = rowlen[tid] * collen[tid]
@@ -365,7 +352,8 @@ def tile_create(csr: CSRMatrix,
     vptr = _exclusive_scan(n_rows * collen[tid])
     # packed rows == tile's nonzeros in (row, col) order (all rows full)
     dnsrow_bucket = DNSRowBucket(tile_ids=tid, row_ptr=rptr, row_ids=row_ids,
-                                 ptr=vptr, val=val_s[sel].astype(vdt))
+                                 ptr=vptr,
+                                 val=np.asarray(val_s[sel], dtype=vdt))
 
     # ---- dense-col bucket (reference csr2tile.h:592-617) ----
     tid, sel, local = bucket_select(FMT_DNSCOL)
