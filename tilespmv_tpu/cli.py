@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append results here ('' disables)")
     p.add_argument("--no-check", action="store_true",
                    help="skip correctness validation")
+    p.add_argument("--device-check", action="store_true",
+                   help="full-vector device check over the whole "
+                        "synthetic corpus (gates the compiled split-bf16 "
+                        "/ gather paths the CPU suite cannot execute)")
     p.add_argument("--profile", action="store_true",
                    help="per-format-class cost breakdown "
                         "(reference DEBUG_FORMATCOST parity)")
@@ -105,6 +109,32 @@ def main(argv=None) -> int:
         sweep(config=config, backend=args.backend, compute_dtype=dtype,
               csv_path=args.csv or None)
         return 0
+
+    if args.device_check:
+        # reference main.cu:186-197's gate, run per corpus archetype on
+        # the CURRENT device with the FULL y vector
+        import numpy as _np
+        from .io import generate
+        bad_total = 0
+        for name in sorted(generate.CORPUS):
+            csr = generate.get_matrix(name)
+            op = TileSpMV(csr, config=config, compute_dtype=dtype,
+                          backend=args.backend)
+            x = ((_np.arange(csr.n) % 10) / 4.0)
+            y = _np.asarray(op(x.astype(_np.dtype(dtype).name if dtype
+                                        != jnp.bfloat16 else _np.float32)))
+            ref = _np.zeros(csr.m)
+            _np.add.at(ref, _np.repeat(_np.arange(csr.m),
+                                       _np.diff(csr.indptr)),
+                       csr.data * x[csr.indices])
+            tol = 0.05 if dtype == jnp.bfloat16 else 0.01
+            bad = int(_np.sum(_np.abs(ref - y) > tol * _np.abs(ref)
+                              + 1e-4))
+            bad_total += bad
+            print(f"{name}: {'PASS' if bad == 0 else f'NO PASS ({bad})'}"
+                  f"  [{op.backend}]")
+        print("device-check:", "PASS" if bad_total == 0 else "NO PASS")
+        return 0 if bad_total == 0 else 1
 
     if args.scaling:
         from .bench.scaling import scaling_sweep
