@@ -108,3 +108,17 @@ def test_scaling_sweep_smoke(mesh8):
     assert [p.n_devices for p in pts] == [1, 2, 4]
     assert all(p.ms > 0 and p.gflops > 0 for p in pts)
     assert abs(pts[0].efficiency - 1.0) < 1e-9
+
+
+def test_distributed_banded_uses_band_class(mesh8):
+    """Shard plans keep the band (brick) class under SPMD unification
+    (C and window counts padded across shards)."""
+    from tilespmv_tpu.parallel import DistributedSpMV
+    from tilespmv_tpu.io import generate
+    import numpy as np
+    csr = generate.banded(2048, 2048, 8, seed=1)
+    op = DistributedSpMV(csr, mesh=mesh8, x_mode="halo")
+    assert op.local_plan_struct.band is not None
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    golden = csr.to_dense().astype(np.float32) @ x
+    assert float(np.max(np.abs(np.asarray(op(x)) - golden))) < 1e-2

@@ -775,9 +775,12 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         er, ec, ev = er[order_e], ec[order_e], ev[order_e]
 
     # --- band (brick) class: qualifying tile-row stripes leave the
-    # per-tile routing entirely (see BAND_MAX_COLS comment)
+    # per-tile routing entirely (see BAND_MAX_COLS comment). The class
+    # has no T/c_batch variation (one window-chunk per window, K fixed),
+    # so it is SPMD-safe: the distributed unifier pads C and window
+    # counts across shards.
     band = None
-    if trow.size and force_t is None:
+    if trow.size:
         band, band_tile_mask = _select_band(trow, tcol, counts, tm.tilem,
                                             n_windows, er, ec, ev, cdt)
         if band is not None:

@@ -184,9 +184,9 @@ def _unify_lane_plans(plans: list) -> list:
     """Give per-shard LanePlans identical treedefs/shapes (SPMD): every
     shard gets every class, chunk counts padded to the max with inert
     chunks appended at the last window (cw stays monotone)."""
-    from ..ops.pallas.lane_plan import (META_XLOC, DenseChunks,
-                                        SparseChunks, LanePlan,
-                                        empty_dense_class,
+    from ..ops.pallas.lane_plan import (BAND_K, META_XLOC, BandChunks,
+                                        DenseChunks, SparseChunks,
+                                        LanePlan, empty_dense_class,
                                         empty_sparse_class)
     from ..ops.pallas.stream_plan import (StreamChunks, empty_stream_chunks)
     n_windows = max(p.n_windows for p in plans)
@@ -233,6 +233,53 @@ def _unify_lane_plans(plans: list) -> list:
         denses.append(d)
     nd = max(d.val.shape[0] for d in denses)
     denses = [pad_class(d, nd, n_windows, True) for d in denses]
+
+    # band class: pad C (brick columns) and window count across shards;
+    # shards without one get an all-inert band (initializes its output)
+    has_band = any(p.band is not None for p in plans)
+    bands = [None] * len(plans)
+    if has_band:
+        import numpy as _np
+        cmax = max(p.band.c_cols for p in plans if p.band is not None)
+
+        def pad_band(b):
+            if b is None:
+                return BandChunks(
+                    val=jnp.zeros((n_windows, cmax, 16, 16, 256),
+                                  cdt),
+                    bloc=jnp.zeros((n_windows, 1, 256), jnp.int32),
+                    pb=jnp.zeros(n_windows * BAND_K, jnp.int32),
+                    cw=jnp.asarray(_np.arange(n_windows,
+                                              dtype=_np.int32)),
+                    cfirst=jnp.ones(n_windows, jnp.int32),
+                    c_cols=cmax, k_panels=BAND_K)
+            val = b.val
+            if b.c_cols < cmax:
+                # extra brick columns are zero: they multiply x at
+                # in-range panel lanes and add nothing
+                val = jnp.pad(val, [(0, 0), (0, cmax - b.c_cols),
+                                    (0, 0), (0, 0), (0, 0)])
+            nw = b.cw.shape[0]
+            if nw < n_windows:
+                extra = n_windows - nw
+                val = jnp.concatenate(
+                    [val, jnp.zeros((extra,) + tuple(val.shape[1:]),
+                                    val.dtype)])
+                return BandChunks(
+                    val=val,
+                    bloc=jnp.concatenate(
+                        [b.bloc, jnp.zeros((extra, 1, 256), jnp.int32)]),
+                    pb=jnp.concatenate(
+                        [b.pb, jnp.zeros(extra * b.k_panels,
+                                         jnp.int32)]),
+                    cw=jnp.asarray(_np.arange(n_windows,
+                                              dtype=_np.int32)),
+                    cfirst=jnp.ones(n_windows, jnp.int32),
+                    c_cols=cmax, k_panels=b.k_panels)
+            return BandChunks(val=val, bloc=b.bloc, pb=b.pb, cw=b.cw,
+                              cfirst=b.cfirst, c_cols=cmax,
+                              k_panels=b.k_panels)
+        bands = [pad_band(p.band) for p in plans]
 
     # sparse classes unify per width: every shard gets every width that
     # appears anywhere, padded to that width's max chunk count
@@ -296,7 +343,7 @@ def _unify_lane_plans(plans: list) -> list:
     for i, p in enumerate(plans):
         e = _pad_residual(p.residual, res_n)
         out.append(LanePlan(
-            dense=denses[i], band=None, sparses=sparses[i], residual=e,
+            dense=denses[i], band=bands[i], sparses=sparses[i], residual=e,
             stream=streams[i],
             m=p.m, n=p.n, tilem=p.tilem, tilen=p.tilen,
             tile_size=p.tile_size, nnz=total_nnz, n_windows=n_windows))
