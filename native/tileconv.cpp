@@ -181,9 +181,10 @@ void* tc_analyze(int64_t m, int64_t n, int64_t nnz, int32_t B,
     std::vector<int64_t> stamp(a->tilen, -1);
     std::vector<int32_t> slot_of_col(a->tilen, 0);
 
-    std::vector<TileRec> band_tiles;
+    std::vector<TileRec> band_tiles, tmp_tiles;
+    std::vector<int32_t> perm;
     std::vector<int64_t> band_cursor;   // per-tile write cursor
-    band_tiles.reserve(256);
+    band_tiles.reserve(1024);
 
     int64_t out_pos = 0;                // global position in the stream
     for (int64_t band = 0; band < a->tilem; ++band) {
@@ -195,17 +196,16 @@ void* tc_analyze(int64_t m, int64_t n, int64_t nnz, int32_t B,
             const uint8_t ri = static_cast<uint8_t>(r - r0);
             for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
                 const int32_t c = indices[k];
-                const int32_t tc = c / B;
-                const uint8_t ci = static_cast<uint8_t>(c - tc * B);
+                const int32_t tc = c >> 4;          // B == 16 (guarded)
+                const uint8_t ci = static_cast<uint8_t>(c & 15);
                 int32_t s;
                 if (stamp[tc] != band) {
                     stamp[tc] = band;
                     s = static_cast<int32_t>(band_tiles.size());
                     slot_of_col[tc] = s;
+                    // value-initialized: histograms start zeroed
                     band_tiles.push_back(TileRec{tc, 0, {0}, {0},
                                                  -1, 0, 0, 0});
-                    std::memset(band_tiles[s].row_hist, 0, 16);
-                    std::memset(band_tiles[s].col_hist, 0, 16);
                 } else {
                     s = slot_of_col[tc];
                 }
@@ -215,11 +215,18 @@ void* tc_analyze(int64_t m, int64_t n, int64_t nnz, int32_t B,
                 ++t.col_hist[ci];
             }
         }
-        // order tiles by tile-column; keep slot lookup valid
-        std::sort(band_tiles.begin(), band_tiles.end(),
-                  [](const TileRec& x, const TileRec& y) {
-                      return x.col < y.col;
+        // order tiles by tile-column WITHOUT moving the fat records:
+        // sort a slot permutation, then rebuild via the permutation
+        perm.resize(band_tiles.size());
+        for (size_t s = 0; s < perm.size(); ++s) perm[s] = (int32_t)s;
+        std::sort(perm.begin(), perm.end(),
+                  [&](int32_t x, int32_t y) {
+                      return band_tiles[x].col < band_tiles[y].col;
                   });
+        tmp_tiles.resize(band_tiles.size());
+        for (size_t s = 0; s < perm.size(); ++s)
+            tmp_tiles[s] = band_tiles[perm[s]];
+        band_tiles.swap(tmp_tiles);
         for (size_t s = 0; s < band_tiles.size(); ++s)
             slot_of_col[band_tiles[s].col] = static_cast<int32_t>(s);
         // selector + cursors
@@ -243,12 +250,11 @@ void* tc_analyze(int64_t m, int64_t n, int64_t nnz, int32_t B,
             const uint8_t ri = static_cast<uint8_t>(r - r0);
             for (int64_t k = indptr[r]; k < indptr[r + 1]; ++k) {
                 const int32_t c = indices[k];
-                const int32_t tc = c / B;
-                const int32_t s = slot_of_col[tc];
+                const int32_t s = slot_of_col[c >> 4];
                 const int64_t pos = band_cursor[s]++;
                 a->val_s[pos] = data[k];
                 a->ri_s[pos] = ri;
-                a->ci_s[pos] = static_cast<uint8_t>(c - tc * B);
+                a->ci_s[pos] = static_cast<uint8_t>(c & 15);
             }
         }
         // commit band tiles
