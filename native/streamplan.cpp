@@ -104,17 +104,34 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
     int32_t S = s_batch_req;
     std::vector<int64_t> slab_start(nwin + 1, 0);
     {
-        double total_slabs = 0;
+        if (S <= 0) {
+            // cost-minimizing slabs-per-step (keep in sync with
+            // stream_plan.pick_s_batch): every slab of an active step
+            // costs ~slab_ns[s] (padding included; small batches hide
+            // gather latency worse), active steps pay a fixed cost,
+            // empty windows one skippable step
+            const int cand[5] = {1, 2, 4, 8, 16};
+            const double slab_ns[5] = {190.0, 150.0, 125.0, 110.0, 101.0};
+            const double step_ns = 300.0, skip_ns = 60.0;
+            int64_t skipped = 0;
+            for (int64_t w = 0; w < nwin; ++w)
+                if (slabs_per_win[w] == 0) ++skipped;
+            double best_cost = -1.0;
+            for (int ci = 0; ci < 5; ++ci) {
+                const int s = cand[ci];
+                double cost = (double)skipped * skip_ns;
+                for (int64_t w = 0; w < nwin; ++w) {
+                    const int64_t active = (slabs_per_win[w] + s - 1) / s;
+                    cost += (double)active * (step_ns + s * slab_ns[ci]);
+                }
+                if (best_cost < 0 || cost < best_cost * 0.98) {
+                    best_cost = cost;
+                    S = s;
+                }
+            }
+        }
         for (int64_t w = 0; w < nwin; ++w) {
             slabs_per_win[w] = std::max<int64_t>(1, slabs_per_win[w]);
-            total_slabs += (double)slabs_per_win[w];
-        }
-        if (S <= 0) {
-            const double avg = total_slabs / (double)nwin;
-            S = 1;
-            while (S < 16 && S * 2 <= avg) S *= 2;
-        }
-        for (int64_t w = 0; w < nwin; ++w) {
             slabs_per_win[w] = ((slabs_per_win[w] + S - 1) / S) * S;
             slab_start[w + 1] = slab_start[w] + slabs_per_win[w];
         }

@@ -26,8 +26,8 @@ def _run_stream(m, n, nnz, seed, heavy_row=False):
     sc, spill = build_stream_chunks(row, col, val, m)
     nw2 = max(1, -(-m // RW_ROWS))
     x = rng.standard_normal(n).astype(np.float32)
-    # MAX_SPAN_ROWS (128) slack: the kernel stages span_rows=128
-    # rows when build_stream_chunks auto-picks subwin_rows=16
+    # MAX_SPAN_ROWS (64) slack, rounded up to whole 64-row spans for
+    # the kernel's chunk-permuted x staging (generous 128-row pad)
     xpad = np.zeros(((n + 127) // 128 + 128) * 128, np.float32)
     xpad[:n] = x
     ys = stream_class_call(sc, jnp.asarray(xpad.reshape(-1, 128)), nw2,

@@ -140,15 +140,18 @@ def _split_dot3(a, oh):
             + jax.lax.dot(a3, ohb, preferred_element_type=jnp.float32))
 
 
-def _gather_xg(panels, meta_ref, b, t: int, k_panels: int, acc_dtype):
+def _gather_xg(panels, meta_ref, b, t: int, k_panels: int, acc_dtype,
+               rhs: int = 0):
     """Pick xg (16, T) — each tile's 16-value x block — with width-128
     hardware lane gathers over the step's `k_panels` pre-transposed
     (16, PANEL_TC) x panels. The panels arrive as pipeline-fetched block
     operands (scalar-prefetch index maps): dynamic in-kernel VMEM reads
     cost ~70 ns each on v5e, pipelined fetches are free. Exact in both
-    compiled and interpret mode."""
+    compiled and interpret mode. `rhs` selects RHS r's panel lanes
+    [r*PANEL_TC, (r+1)*PANEL_TC) in a multi-RHS panel stack."""
     loc = jnp.maximum(meta_ref[b, META_XLOC], 0)            # (T,)
     ngrp = PANEL_TC // 128
+    off = rhs * ngrp
     xgs = []
     for g0 in range(0, t, 128):
         idx = jnp.broadcast_to(loc[g0:g0 + 128][None, :], (_B, 128))
@@ -156,7 +159,8 @@ def _gather_xg(panels, meta_ref, b, t: int, k_panels: int, acc_dtype):
         for k in range(k_panels):
             for h in range(ngrp):
                 tk = jnp.take_along_axis(
-                    panels[k][:, h * 128:(h + 1) * 128], idx & 127, axis=1)
+                    panels[k][:, (off + h) * 128:(off + h + 1) * 128],
+                    idx & 127, axis=1)
                 if out is None:
                     out = tk
                 else:
@@ -607,53 +611,319 @@ def band_spmm_call(bd: BandChunks, x_panels_k: jax.Array, n_windows: int,
           bd.bloc)
 
 
+def _dense_spmm_kernel(pb, cw, cfirst,
+                       *refs,      # panels, val, meta, out
+                       t: int, k_panels: int, c_batch: int, k_rhs: int,
+                       acc_dtype, interpret: bool = False):
+    """Fused multi-RHS dense-class kernel: each val slab streams from
+    HBM ONCE for all k right-hand sides (panels carry the k RHS x
+    planes stacked in the lane dim, like _band_spmm_kernel)."""
+    panel_refs = refs[:k_panels]
+    val_ref, meta_ref, out_ref = refs[k_panels:]
+    panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
+    i = pl.program_id(0)
+    blks = [[] for _ in range(k_rhs)]
+    for b in range(c_batch):
+        xgs = [_gather_xg(panels, meta_ref, b, t, k_panels, acc_dtype,
+                          rhs=r) for r in range(k_rhs)]
+        ycs = [jnp.zeros((_B, t), acc_dtype) for _ in range(k_rhs)]
+        for j in range(_B):
+            slab = val_ref[b, j].astype(acc_dtype)
+            for r in range(k_rhs):
+                ycs[r] = ycs[r] + slab * xgs[r][j, :][None, :]
+        for r in range(k_rhs):
+            blks[r].append(_window_block(ycs[r], meta_ref, b, t,
+                                         acc_dtype, interpret))
+    out = jnp.concatenate([_tree_sum(bl) for bl in blks], axis=0)
+    _write_out(i, cfirst, out, out_ref)
+
+
+def _sparse_spmm_kernel(pb, cw, cfirst,
+                        *refs,     # panels, ltri, val, meta, out
+                        width: int, t: int, k_panels: int, c_batch: int,
+                        k_rhs: int, acc_dtype, interpret: bool = False):
+    """Fused multi-RHS W-class kernel: the nibble-column decode, packed
+    row pointers, and val slots are read ONCE; per RHS only the x
+    routing, prefix, and boundary gathers repeat."""
+    panel_refs = refs[:k_panels]
+    ltri_ref, val_ref, meta_ref, out_ref = refs[k_panels:]
+    panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
+    i = pl.program_id(0)
+    W = width
+    ncw = W // 8
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (SUBS, t), 0)
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (_B, t), 0)
+    blks = [[] for _ in range(k_rhs)]
+    for b in range(c_batch):
+        # decode shared across RHS
+        c4s = []
+        for k in range(ncw):
+            word = jnp.broadcast_to(meta_ref[b, 2 + k][None, :], (SUBS, t))
+            c4s.append(jnp.right_shift(word, iota8 * 4) & 15)
+        rows4 = meta_ref[b, 2 + ncw: 2 + ncw + 4]
+        rep = jnp.repeat(rows4, 4, axis=0)
+        rend = jnp.right_shift(rep, (iota16 % 4) * 8) & 255
+        vals = [val_ref[b, k * SUBS:(k + 1) * SUBS].astype(acc_dtype)
+                for k in range(ncw)]
+        for r in range(k_rhs):
+            xg = _gather_xg(panels, meta_ref, b, t, k_panels, acc_dtype,
+                            rhs=r)
+            xga, xgb = xg[:SUBS], xg[SUBS:]
+            contribs = []
+            for k in range(ncw):
+                c4 = c4s[k]
+                va = jnp.take_along_axis(xga, c4 & 7, axis=0)
+                vb = jnp.take_along_axis(xgb, c4 & 7, axis=0)
+                xv = jnp.where(c4 < SUBS, va, vb)
+                contribs.append(vals[k] * xv)
+            contrib = jnp.concatenate(contribs, axis=0)
+            if interpret:
+                cs = jnp.cumsum(contrib, axis=0)
+            else:
+                cs = _split_dot_left(ltri_ref[...], contrib, acc_dtype)
+            gh = []
+            for h in range(2):
+                idxh = rend[h * SUBS:(h + 1) * SUBS]
+                out = jnp.take_along_axis(cs[:SUBS], idxh & 7, axis=0)
+                for k in range(1, ncw):
+                    sk = jnp.take_along_axis(cs[k * SUBS:(k + 1) * SUBS],
+                                             idxh & 7, axis=0)
+                    out = jnp.where((idxh >> 3) == k, sk, out)
+                gh.append(out)
+            g = jnp.concatenate(gh, axis=0)
+            gprev = jnp.concatenate(
+                [jnp.zeros((1, t), acc_dtype), g[: _B - 1]], axis=0)
+            blks[r].append(_window_block(g - gprev, meta_ref, b, t,
+                                         acc_dtype, interpret))
+    out = jnp.concatenate([_tree_sum(bl) for bl in blks], axis=0)
+    _write_out(i, cfirst, out, out_ref)
+
+
+def _spmm_panel_spec(k, K, k_rhs):
+    return pl.BlockSpec(
+        (1, _B, k_rhs * PANEL_TC),
+        lambda i, pb, cw, cfirst, k=k: (pb[i * K + k], 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _spmm_grid_spec(nsteps, k_panels, k_rhs, tensor_specs,
+                    extra_vmem: int = 0):
+    ospec = pl.BlockSpec(
+        (k_rhs * _B, ROW_WINDOW),
+        lambda i, pb, cw, cfirst: (0, cw[i]),
+        memory_space=pltpu.VMEM)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nsteps,),
+        in_specs=([_spmm_panel_spec(k, k_panels, k_rhs)
+                   for k in range(k_panels)]
+                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * extra_vmem
+                  + tensor_specs),
+        out_specs=ospec,
+    )
+
+
+def dense_spmm_call(d: DenseChunks, x_panels_k: jax.Array, n_windows: int,
+                    k_rhs: int, interpret: bool = False) -> jax.Array:
+    """Fused dense-class SpMM; returns (k*16, n_windows*ROW_WINDOW) with
+    RHS r's y2dT at rows [r*16, (r+1)*16)."""
+    kernel = functools.partial(_dense_spmm_kernel, t=d.t_lanes,
+                               k_panels=d.k_panels, c_batch=d.c_batch,
+                               k_rhs=k_rhs, acc_dtype=jnp.float32,
+                               interpret=interpret)
+    tensor_specs = [
+        _chunk_spec((_B, _B, d.t_lanes), lead=d.c_batch),        # val
+        _chunk_spec((DENSE_MROWS, d.t_lanes), lead=d.c_batch),   # meta
+    ]
+    nsteps = d.cw.shape[0]
+    with _x32_trace():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=_spmm_grid_spec(nsteps, d.k_panels, k_rhs,
+                                      tensor_specs),
+            out_shape=jax.ShapeDtypeStruct(
+                (k_rhs * _B, n_windows * ROW_WINDOW), jnp.float32),
+            interpret=interpret,
+        )(d.pb, d.cw, d.cfirst, *([x_panels_k] * d.k_panels), d.val,
+          d.meta)
+
+
+def sparse_spmm_call(s: SparseChunks, x_panels_k: jax.Array,
+                     n_windows: int, k_rhs: int,
+                     interpret: bool = False) -> jax.Array:
+    """Fused W-class SpMM; layout as dense_spmm_call."""
+    mrows = sparse_meta_rows(s.width)
+    kernel = functools.partial(_sparse_spmm_kernel, width=s.width,
+                               t=s.t_lanes, k_panels=s.k_panels,
+                               c_batch=s.c_batch, k_rhs=k_rhs,
+                               acc_dtype=jnp.float32, interpret=interpret)
+    tensor_specs = [
+        _chunk_spec((s.width, s.t_lanes), lead=s.c_batch),    # val
+        _chunk_spec((mrows, s.t_lanes), lead=s.c_batch),      # meta
+    ]
+    ltri = jnp.asarray(np.tril(np.ones((s.width, s.width), np.float32)))
+    nsteps = s.cw.shape[0]
+    with _x32_trace():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=_spmm_grid_spec(nsteps, s.k_panels, k_rhs,
+                                      tensor_specs, extra_vmem=1),
+            out_shape=jax.ShapeDtypeStruct(
+                (k_rhs * _B, n_windows * ROW_WINDOW), jnp.float32),
+            interpret=interpret,
+        )(s.pb, s.cw, s.cfirst, *([x_panels_k] * s.k_panels), ltri, s.val,
+          s.meta)
+
+
+def spmm_pallas(plan: LanePlan, xs: jax.Array,
+                interpret: bool = False) -> jax.Array:
+    """Y = A @ X (X: (n, k)) with the Pallas engines, fused per class:
+    dense/band/W-class val blocks stream from HBM ONCE for all k RHS
+    (the vmapped fallback re-reads A per RHS); the stream class and
+    residual run per-RHS (their cost is gather-issue, not A traffic).
+    Beyond-reference capability (the reference is SpMV-only)."""
+    k = xs.shape[1]
+    panels = [x_to_panels(plan, xs[:, r]) for r in range(k)]
+    xk = jnp.concatenate(panels, axis=2)
+
+    parts = []
+    if plan.dense is not None:
+        parts.append(dense_spmm_call(plan.dense, xk, plan.n_windows, k,
+                                     interpret=interpret))
+    if plan.band is not None:
+        parts.append(band_spmm_call(plan.band, xk, plan.n_windows, k,
+                                    interpret=interpret))
+    for s in plan.sparses:
+        parts.append(sparse_spmm_call(s, xk, plan.n_windows, k,
+                                      interpret=interpret))
+    if parts:
+        tot = functools.reduce(jnp.add, parts)   # (k*16, nw*RW)
+        cols = [tot[r * _B:(r + 1) * _B].T.reshape(-1) for r in range(k)]
+        y = jnp.stack(cols, axis=1)              # (y_padded_len, k)
+    else:
+        y = jnp.zeros((plan.y_padded_len, k), xs.dtype)
+
+    if plan.stream is not None:
+        nw2 = plan.n_stream_windows
+        ycols = []
+        for r in range(k):
+            x_pad128 = (jnp.zeros(plan.x_padded_len128, dtype=xs.dtype)
+                        .at[: plan.n].set(xs[:, r]))
+            ys = stream_class_call(plan.stream, x_pad128.reshape(-1, 128),
+                                   nw2, interpret=interpret)
+            ycols.append(ys.reshape(SUBS, nw2, LANES)
+                         .transpose(1, 0, 2).reshape(-1))
+        ys2 = jnp.stack(ycols, axis=1)
+        ln = max(y.shape[0], ys2.shape[0])
+        y = (jnp.zeros((ln, k), ys2.dtype).at[: y.shape[0]].add(y)
+             .at[: ys2.shape[0]].add(ys2))
+
+    if plan.residual.val.shape[0]:
+        contrib = plan.residual.val[:, None] * xs[plan.residual.col, :]
+        y = y.at[plan.residual.row].add(contrib)
+    return y[: plan.m].astype(xs.dtype)
+
+
 def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
-                   x2d_ref, ltri_ref, val_ref, vidx_ref, planes_ref,
-                   out_ref,                          # output
-                   *, s_batch: int, rounds: int, acc_dtype,
-                   interpret: bool = False):
+                   *refs,
+                   s_batch: int, rounds: int, acc_dtype,
+                   df64: bool = False, interpret: bool = False):
     """One step = `s_batch` (8,128) entry slabs: hardware-gather x per
     slab superspan, prefix-sum by one batched matmul, then 3-gather
     boundary-difference scatter rounds (see stream_plan.py module doc).
     Slab bodies are independent chains so Mosaic can interleave their
     gather latencies. Steps whose slabs are all empty (load-sorted
-    padding) skip the whole body."""
+    padding) skip the whole body. The df64 variant carries (hi, lo) f32
+    pairs end to end (see _stream_step_df64)."""
     i = pl.program_id(0)
+    out_refs = refs[-2:] if df64 else refs[-1:]
 
     @pl.when((sactive[i] == 0) & (cfirst[i] == 1))
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
 
     @pl.when(sactive[i] == 1)
     def _():
-        _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
-                     planes_ref, out_ref, i, s_batch=s_batch,
-                     rounds=rounds, acc_dtype=acc_dtype,
-                     interpret=interpret)
+        if df64:
+            _stream_step_df64(sbase, cfirst, *refs, i=i, s_batch=s_batch,
+                              rounds=rounds, interpret=interpret)
+        else:
+            _stream_step(sbase, cfirst, *refs, i=i, s_batch=s_batch,
+                         rounds=rounds, acc_dtype=acc_dtype,
+                         interpret=interpret)
+
+
+# In-situ ablation switches (scripts/ablate_stream.py flips these before
+# tracing; committed defaults = measured winners on v5e):
+#   xg: how the slab's x values are staged.
+#     "chunk"  — the x buffer is viewed as (rows, 1024) so sublane w's
+#        whole window IS row w of an (8,1024) span read; per 128-lane
+#        chunk one narrow (8,128) lane gather + select. No sublane
+#        gathers, no row-broadcasts, no concat.
+#     "narrow" — (64,128) span; 8 narrow (8,128) lane gathers (one per
+#        window) + per-window sublane gathers. The microbench
+#        (scripts/microbench_gather.py) measures (8,128) lane gathers
+#        at ~0.9 ns vs ~21.6 ns for one (64,128).
+#     "wide"   — round-1/2 form: ONE (64,128) lane gather + per-window
+#        sublane gathers.
+#   wide_scatter: one (S*8,128) lane gather per round over the stacked
+#     planes instead of per-slab (8,128) gathers — measured SLOWER
+#     (gather cost scales superlinearly with sublane count; powerlaw
+#     1.06 -> 1.14 ms), kept as an ablation arm.
+STREAM_VARIANT = {"xg": "chunk", "wide_scatter": False}
 
 
 def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
-                 planes_ref, out_ref, i, *, s_batch, rounds, acc_dtype,
+                 planes_ref, out_ref, *, i, s_batch, rounds, acc_dtype,
                  interpret):
+    xg = STREAM_VARIANT["xg"]
+    wide_scatter = STREAM_VARIANT["wide_scatter"]
     contribs = []
     for s in range(s_batch):
         si = i * s_batch + s
-        span = x2d_ref[pl.ds(sbase[si], SPAN_ROWS), :]   # (64, 128)
         vidx = vidx_ref[s].astype(jnp.int32)   # stored int16
+        if xg == "chunk":
+            # x2d_ref rows are PERMUTED within each span: row
+            # s*64 + c*8 + w holds window w's c-th 128-value chunk, so
+            # chunk c of ALL 8 windows is one static (8,128) slice (row
+            # order = window). Per chunk: one narrow lane gather +
+            # select — no sublane gathers, no broadcasts, no concat.
+            span = x2d_ref[pl.ds(sbase[si], SPAN_ROWS), :]   # (64, 128)
+            lo = vidx & (LANES - 1)
+            hi3 = vidx >> 7
+            xv = None
+            for c in range(SUBS):
+                tk = jnp.take_along_axis(
+                    span[c * SUBS:(c + 1) * SUBS], lo, axis=1)
+                xv = tk if xv is None else jnp.where(hi3 == c, tk, xv)
+            xv = xv.astype(acc_dtype)
+            contribs.append(val_ref[s].astype(acc_dtype) * xv)
+            continue
+        span = x2d_ref[pl.ds(sbase[si], SPAN_ROWS), :]   # (64, 128)
         hi = (vidx >> 7) & 7                   # row-of-8 in the x window
         lo = vidx & (LANES - 1)
-        # ONE (64,128) lane gather picks, for every window, all 8
-        # candidate x rows at the entry's lane; a per-window sublane
-        # gather then selects the entry's row (width-64 lane gathers are
-        # native: R in {8,16,32,64})
-        u64 = jnp.take_along_axis(span, jnp.repeat(lo, XBLOCK_ROWS,
-                                                   axis=0), axis=1)
         rows = []
-        for w in range(SUBS):
-            u = u64[XBLOCK_ROWS * w: XBLOCK_ROWS * (w + 1), :]
-            hiw = jnp.broadcast_to(hi[w: w + 1], (SUBS, LANES))
-            vv = jnp.take_along_axis(u, hiw, axis=0)
-            rows.append(vv[0:1])             # all rows equal
+        if xg == "narrow":
+            # per window: one narrow (8,128) lane gather of the window's
+            # 8 candidate x rows at the entry's lane, then a sublane
+            # gather selects the entry's row
+            for w in range(SUBS):
+                u = jnp.take_along_axis(
+                    span[XBLOCK_ROWS * w: XBLOCK_ROWS * (w + 1), :],
+                    jnp.broadcast_to(lo[w: w + 1], (SUBS, LANES)), axis=1)
+                hiw = jnp.broadcast_to(hi[w: w + 1], (SUBS, LANES))
+                vv = jnp.take_along_axis(u, hiw, axis=0)
+                rows.append(vv[0:1])         # all rows equal
+        else:
+            # ONE (64,128) lane gather for all 8 windows at once
+            u64 = jnp.take_along_axis(span, jnp.repeat(lo, XBLOCK_ROWS,
+                                                       axis=0), axis=1)
+            for w in range(SUBS):
+                u = u64[XBLOCK_ROWS * w: XBLOCK_ROWS * (w + 1), :]
+                hiw = jnp.broadcast_to(hi[w: w + 1], (SUBS, LANES))
+                vv = jnp.take_along_axis(u, hiw, axis=0)
+                rows.append(vv[0:1])         # all rows equal
         xv = jnp.concatenate(rows, axis=0).astype(acc_dtype)
         contribs.append(val_ref[s].astype(acc_dtype) * xv)
     cstack = jnp.concatenate(contribs, axis=0)      # (8*S, 128)
@@ -680,21 +950,48 @@ def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
                                    precision=jax.lax.Precision.HIGHEST,
                                    preferred_element_type=acc_dtype)
 
+    # 3 hardware gathers per (slab, round) over the per-STEP stacked
+    # planes (stream_plan.stack_step_planes): run-end and run-start lane
+    # gathers of the prefix, then the rsrc sublane gather routes each
+    # target row at its source's boundary difference
+    # (tpu.dynamic_gather takes the int8 planes directly). The
+    # wide_scatter arm replaces the 2*S narrow lane gathers per round
+    # with 2 (S*8,128)-wide ones — measured slower on v5e (see
+    # STREAM_VARIANT), kept for the ablation.
+    pe = planes_ref[0]                     # (R*3*S*8, 128) int8
+    sb8 = s_batch * SUBS
+
     ys = []
-    for s in range(s_batch):
-        cs = csum[s * SUBS:(s + 1) * SUBS]
-        pe = planes_ref[s]                 # (R*24, 128) int8
-        # 3 hardware gathers per round: run ends, run starts (lane
-        # gathers of the prefix), then the rsrc sublane gather routes
-        # each target row at its source's boundary difference
-        # (tpu.dynamic_gather takes the int8 planes directly)
-        for t in range(rounds):
-            base = t * 3 * SUBS
-            ue = jnp.take_along_axis(cs, pe[base: base + SUBS], axis=1)
-            us = jnp.take_along_axis(cs, pe[base + SUBS: base + 2 * SUBS],
+    if wide_scatter:
+        def wide_gather(idx):
+            if sb8 <= 64:
+                return jnp.take_along_axis(csum, idx, axis=1)
+            return jnp.concatenate(
+                [jnp.take_along_axis(csum[o: o + 64], idx[o: o + 64],
                                      axis=1)
-            ys.append(jnp.take_along_axis(
-                ue - us, pe[base + 2 * SUBS: base + 3 * SUBS], axis=0))
+                 for o in range(0, sb8, 64)], axis=0)
+
+        for t in range(rounds):
+            base = t * 3 * sb8
+            ue = wide_gather(pe[base: base + sb8])
+            us = wide_gather(pe[base + sb8: base + 2 * sb8])
+            diff = ue - us
+            for s in range(s_batch):
+                o = base + 2 * sb8 + s * SUBS
+                ys.append(jnp.take_along_axis(
+                    diff[s * SUBS:(s + 1) * SUBS], pe[o: o + SUBS],
+                    axis=0))
+    else:
+        for t in range(rounds):
+            base = t * 3 * sb8
+            for s in range(s_batch):
+                cs = csum[s * SUBS:(s + 1) * SUBS]
+                o = base + s * SUBS
+                ue = jnp.take_along_axis(cs, pe[o: o + SUBS], axis=1)
+                us = jnp.take_along_axis(cs, pe[sb8 + o: sb8 + o + SUBS],
+                                         axis=1)
+                ys.append(jnp.take_along_axis(
+                    ue - us, pe[2 * sb8 + o: 2 * sb8 + o + SUBS], axis=0))
     y = _tree_sum(ys)
 
     @pl.when(cfirst[i] == 1)
@@ -706,12 +1003,162 @@ def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
         out_ref[...] += y
 
 
+def _pair_tree_sum(pairs):
+    """Tree reduction of (hi, lo) double-f32 pairs: each combine is a
+    Knuth two-sum on the hi parts with the error folded into lo — the
+    parallel form of a compensated accumulation (exposes independent
+    chains where a running Kahan sum would serialize)."""
+    while len(pairs) > 1:
+        nxt = []
+        for k in range(0, len(pairs) - 1, 2):
+            (h1, l1), (h2, l2) = pairs[k], pairs[k + 1]
+            h, e = _two_sum(h1, h2)
+            nxt.append((h, l1 + l2 + e))
+        if len(pairs) % 2:
+            nxt.append(pairs[-1])
+        pairs = nxt
+    return pairs[0]
+
+
+def _shift_lanes(a, k):
+    """Shift lanes right by k with zero fill (static k)."""
+    return jnp.pad(a, [(0, 0), (k, 0)])[:, : a.shape[1]]
+
+
+def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
+                      vidx_ref, planes_ref, out_ref, out_lo_ref, *, i,
+                      s_batch, rounds, interpret):
+    """Double-f32 stream step: the PLAN (slabs, round planes) is
+    identical to f32; only the arithmetic changes —
+
+    * values and x arrive as exact (hi, lo) f32 pairs;
+    * per-entry products are Dekker-exact pairs (ph + pl ~ a*x to
+      ~2^-48);
+    * the lane prefix sum is a compensated Kogge-Stone scan (7 shifted
+      two-sum levels) instead of the bf16 triangular MXU multiply — the
+      matmul cannot carry the compensation;
+    * boundary differences and the cross-round/slab reduction combine
+      pairs with two-sums (_pair_tree_sum), and the window accumulation
+      uses the compensated dual-output writeback (_write_out_df64).
+
+    Covers the reference's double default for its very-sparse extracted
+    matrix (common.h:12-14 + the CSR5 double templates,
+    external/CSR5_cuda/anonymouslib_cuda.h:12)."""
+    chs, cls = [], []
+    for s in range(s_batch):
+        si = i * s_batch + s
+        vidx = vidx_ref[s].astype(jnp.int32)
+        lo = vidx & (LANES - 1)
+        hi3 = vidx >> 7
+        # chunk-staged x (see the "chunk" arm in _stream_step): rows of
+        # the span are permuted to (chunk, window) order
+        spanh = xh_ref[pl.ds(sbase[si], SPAN_ROWS), :]
+        spanl = xl_ref[pl.ds(sbase[si], SPAN_ROWS), :]
+        xh = xl = None
+        for c in range(SUBS):
+            th = jnp.take_along_axis(spanh[c * SUBS:(c + 1) * SUBS], lo,
+                                     axis=1)
+            tl = jnp.take_along_axis(spanl[c * SUBS:(c + 1) * SUBS], lo,
+                                     axis=1)
+            xh = th if xh is None else jnp.where(hi3 == c, th, xh)
+            xl = tl if xl is None else jnp.where(hi3 == c, tl, xl)
+        vh = val_ref[s]
+        vl = vlo_ref[s]
+        # Dekker-exact product pair: ph = fl(vh*xh), plo = error + cross
+        a1, a2 = _x_split(vh)
+        b1, b2 = _x_split(xh)
+        ph = vh * xh
+        plo = (((a1 * b1 - ph) + a1 * b2 + a2 * b1) + a2 * b2
+               + vh * xl + vl * xh)
+        chs.append(ph)
+        cls.append(plo)
+    csh = jnp.concatenate(chs, axis=0)      # (S*8, 128)
+    csl = jnp.concatenate(cls, axis=0)
+
+    # compensated Kogge-Stone inclusive scan along lanes
+    k = 1
+    while k < LANES:
+        rh = _shift_lanes(csh, k)
+        rl = _shift_lanes(csl, k)
+        csh, e = _two_sum(csh, rh)
+        csl = csl + rl + e
+        k *= 2
+
+    pe = planes_ref[0]
+    sb8 = s_batch * SUBS
+    ys = []
+    for t in range(rounds):
+        base = t * 3 * sb8
+        for s in range(s_batch):
+            hsl = csh[s * SUBS:(s + 1) * SUBS]
+            lsl = csl[s * SUBS:(s + 1) * SUBS]
+            o = base + s * SUBS
+            pe_e = pe[o: o + SUBS]
+            pe_s = pe[sb8 + o: sb8 + o + SUBS]
+            rsrc = pe[2 * sb8 + o: 2 * sb8 + o + SUBS]
+            ue_h = jnp.take_along_axis(hsl, pe_e, axis=1)
+            us_h = jnp.take_along_axis(hsl, pe_s, axis=1)
+            ue_l = jnp.take_along_axis(lsl, pe_e, axis=1)
+            us_l = jnp.take_along_axis(lsl, pe_s, axis=1)
+            dh, e = _two_sum(ue_h, -us_h)
+            dl = (ue_l - us_l) + e
+            ys.append((jnp.take_along_axis(dh, rsrc, axis=0),
+                       jnp.take_along_axis(dl, rsrc, axis=0)))
+    yh, yl = _pair_tree_sum(ys)
+    _write_out_df64(i, cfirst, yh, yl, out_ref, out_lo_ref)
+
+
 def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                       interpret: bool = False) -> jax.Array:
     """Run the entry-level stream class; returns y (8, n_windows*128)
-    where window w's row (q*128 + j) lives at [q, w*128 + j]."""
+    where window w's row (q*128 + j) lives at [q, w*128 + j] — a
+    (hi, lo) f32 pair of such planes when the class is double-f32."""
     S = sc.s_batch
     nsteps = sc.nsteps
+    if STREAM_VARIANT["xg"] == "chunk" or sc.df64:
+        # permute rows within each 64-row span from (window, chunk) to
+        # (chunk, window) order — one small XLA transpose per call; the
+        # kernel then reads every chunk as a static (8,128) slice
+        if x2d128.shape[0] % SPAN_ROWS:
+            x2d128 = jnp.pad(
+                x2d128,
+                [(0, SPAN_ROWS - x2d128.shape[0] % SPAN_ROWS), (0, 0)])
+        x2d128 = (x2d128.reshape(-1, SUBS, SUBS, LANES)
+                  .transpose(0, 2, 1, 3).reshape(-1, LANES))
+    ospec = pl.BlockSpec(
+        (SUBS, LANES),
+        lambda i, sbase, cw, cfirst, sactive: (0, cw[i]),
+        memory_space=pltpu.VMEM)
+    if sc.df64:
+        xh = x2d128.astype(jnp.float32)
+        xl = (x2d128 - xh.astype(jnp.float64)).astype(jnp.float32)
+        kernel = functools.partial(_stream_kernel, s_batch=S,
+                                   rounds=sc.rounds,
+                                   acc_dtype=jnp.float32, df64=True,
+                                   interpret=interpret)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x hi
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # x lo
+                _chunk_spec((SUBS, LANES), lead=S),      # val hi
+                _chunk_spec((SUBS, LANES), lead=S),      # val lo
+                _chunk_spec((SUBS, LANES), lead=S),      # vidx
+                _chunk_spec((sc.planes.shape[1], LANES), lead=1),
+            ],
+            out_specs=(ospec, ospec),
+        )
+        oshape = jax.ShapeDtypeStruct((SUBS, n_windows * LANES),
+                                      jnp.float32)
+        with _x32_trace():
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=(oshape, oshape),
+                interpret=interpret,
+            )(sc.sbase, sc.cw, sc.cfirst, sc.sactive, xh, xl, sc.val,
+              sc.val_lo, sc.vidx, sc.planes)
     acc_dtype = (jnp.float32 if x2d128.dtype != jnp.float64
                  else jnp.float64)
     ltri = jnp.asarray(
@@ -727,12 +1174,9 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ltri
             _chunk_spec((SUBS, LANES), lead=S),      # val
             _chunk_spec((SUBS, LANES), lead=S),      # vidx
-            _chunk_spec((sc.planes.shape[1], LANES), lead=S),  # planes
+            _chunk_spec((sc.planes.shape[1], LANES), lead=1),  # planes
         ],
-        out_specs=pl.BlockSpec(
-            (SUBS, LANES),
-            lambda i, sbase, cw, cfirst, sactive: (0, cw[i]),
-            memory_space=pltpu.VMEM),
+        out_specs=ospec,
     )
     with _x32_trace():
         return pl.pallas_call(
@@ -794,6 +1238,9 @@ def spmv_pallas(plan: LanePlan, x: jax.Array,
         nw2 = plan.n_stream_windows
         ys = stream_class_call(plan.stream, x_pad128.reshape(-1, 128), nw2,
                                interpret=interpret)
+        if plan.stream.df64:
+            # (hi, lo) plane pair -> f64 at the XLA level
+            ys = ys[0].astype(jnp.float64) + ys[1].astype(jnp.float64)
         # [q, w*128 + j] holds row w*1024 + q*128 + j
         ys_flat = ys.reshape(SUBS, nw2, LANES).transpose(1, 0, 2).reshape(-1)
         ln = max(y.shape[0], ys_flat.shape[0])

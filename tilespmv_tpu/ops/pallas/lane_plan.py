@@ -59,7 +59,7 @@ import numpy as np
 
 from ...core.tile_matrix import TileMatrix
 from ..plan import ResidualEngine
-from .stream_plan import (MAX_SPAN_ROWS, RW_ROWS, StreamChunks,
+from .stream_plan import (MAX_SPAN_ROWS, RW_ROWS, SPAN_ROWS, StreamChunks,
                           build_stream_chunks)
 
 T_CHOICES = (128, 256, 512)   # tiles per chunk (lane-dim width classes)
@@ -199,8 +199,11 @@ class LanePlan:
 
     @property
     def x_padded_len128(self) -> int:
-        # stream-class x layout: (rows, 128) with max-span slack
-        return (-(-self.n // 128) + MAX_SPAN_ROWS) * 128
+        # stream-class x layout: (rows, 128) with max-span slack; rows
+        # rounded to whole 64-row spans so the kernel's chunked
+        # x-staging can permute spans without an extra pad copy
+        rows = -(-self.n // 128) + MAX_SPAN_ROWS
+        return -(-rows // SPAN_ROWS) * SPAN_ROWS * 128
 
     @property
     def n_stream_windows(self) -> int:
@@ -794,6 +797,14 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
     dense_mask = counts >= DENSE_MIN_NNZ
     widx = np.searchsorted(np.asarray(W_CHOICES), counts + 1)
     widx[dense_mask] = len(W_CHOICES)
+    if cdt == np.dtype(np.float64):
+        # double-f32 W-class kernels would pay 4 sublane gathers per
+        # (slot, operand half); densified tiles run the existing dense
+        # df64 kernel instead — ~15x the packed bytes per W-tile but
+        # still HBM-streaming (the f64 budget is ~5x f32, and these
+        # matrices' tile counts are small compared to the COO/stream
+        # population, which has its own df64 engine)
+        widx[:] = len(W_CHOICES)
     # merge thin classes upward (fewer kernel launches); the top class
     # merges into dense
     for k in range(len(W_CHOICES)):

@@ -59,11 +59,33 @@ XBLOCK_ROWS = 8    # x2d128 rows per sublane's x window (1024 values)
 SPAN_ROWS = 64     # x2d128 rows per slab superspan (8 aligned windows)
 MAX_SPAN_ROWS = 64  # x staging slack (one superspan read past the end)
 
-# int8 plane rows per slab: R rounds x [rend | rstart | rsrc] x 8
-# sublanes (rows t*24 + {0,8,16} + s); R is a multiple of 4 so the row
-# count stays a multiple of the 32-row int8 tile
+# int8 plane rows per slab in the RAW (builder) layout: R rounds x
+# [rend | rstart | rsrc] x 8 sublanes (rows t*24 + {0,8,16} + s); R is a
+# multiple of 4 so the row count stays a multiple of the 32-row int8 tile
 def plane_rows(rounds: int) -> int:
     return rounds * 3 * SUBS
+
+
+# int8 plane rows per STEP in the stacked (kernel) layout: for each
+# round t, all s_batch slabs' rend planes (S*8 rows), then all rstart,
+# then all rsrc. The kernel's prefix stack csum is (S*8, 128) in the
+# same (slab, sublane) row order, so one wide lane gather per round
+# covers every slab's rend (and one more its rstart) — 2 + S gather
+# issues per round instead of 3*S (lane gathers are native at
+# R in {8,16,32,64} sublanes).
+def step_plane_rows(rounds: int, s_batch: int) -> int:
+    return rounds * 3 * SUBS * s_batch
+
+
+def stack_step_planes(planes: np.ndarray, s_batch: int,
+                      rounds: int) -> np.ndarray:
+    """(nslabs, plane_rows(R), 128) raw per-slab planes -> per-step
+    stacked (nsteps, step_plane_rows(R, S), 128)."""
+    nslabs = planes.shape[0]
+    nsteps = nslabs // s_batch
+    p = planes.reshape(nsteps, s_batch, rounds, 3, SUBS, LANES)
+    return np.ascontiguousarray(p.transpose(0, 2, 3, 1, 4, 5)).reshape(
+        nsteps, step_plane_rows(rounds, s_batch), LANES)
 
 
 @jax.tree_util.register_dataclass
@@ -76,19 +98,25 @@ class StreamChunks:
     interleave); every step's slabs share one output window, so each
     window's slab count is padded to a multiple of `s_batch`. `cw` and
     `cfirst` are per *step*; `sbase` is per (slab, sublane)."""
-    val: Any      # (nslabs, 8, 128) compute dtype
+    val: Any      # (nslabs, 8, 128) f32 (the HI plane under df64)
     vidx: Any     # (nslabs, 8, 128) int16: row-of-8<<7 | lane-of-128
-    planes: Any   # (nslabs, plane_rows(R), 128) int8 — see module doc
+    planes: Any   # (nsteps, step_plane_rows(R, S), 128) int8 — stacked
+    #               per-step round planes (see stack_step_planes)
     sbase: Any    # (nslabs,) int32: x2d128 row base of the superspan
     cw: Any       # (nsteps,) int32: output window id
     cfirst: Any   # (nsteps,) int32: 1 = first step of its window
     sactive: Any  # (nsteps,) int32: 0 = every slab in the step is empty
     #               (slabs are load-sorted per window, so padding slabs
     #                cluster into skippable steps)
+    val_lo: Any = None  # (nslabs, 8, 128) f32 LO plane (df64 only):
+    #               val + val_lo == the f64 value exactly
 
-    s_batch: int = dataclasses.field(metadata=dict(static=True))
+    s_batch: int = dataclasses.field(default=4,
+                                     metadata=dict(static=True))
     rounds_: int = dataclasses.field(default=ROUNDS,
                                      metadata=dict(static=True))
+    df64: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
 
     @property
     def nslabs(self) -> int:
@@ -110,16 +138,49 @@ def empty_stream_chunks(n_windows: int,
     """All-inert slabs, one step per window (zero-initializes the class
     output; used by the SPMD unifier)."""
     cdt = np.dtype(compute_dtype)
+    df64 = cdt == np.dtype(np.float64)
     ns = n_windows * s_batch
     return StreamChunks(
-        val=jnp.zeros((ns, SUBS, LANES), cdt),
+        val=jnp.zeros((ns, SUBS, LANES), jnp.float32 if df64 else cdt),
         vidx=jnp.zeros((ns, SUBS, LANES), jnp.int16),
-        planes=jnp.zeros((ns, plane_rows(rounds), LANES), jnp.int8),
+        planes=jnp.zeros((n_windows, step_plane_rows(rounds, s_batch),
+                          LANES), jnp.int8),
         sbase=jnp.zeros(ns, jnp.int32),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
         sactive=jnp.zeros(n_windows, jnp.int32),
-        s_batch=s_batch, rounds_=rounds)
+        val_lo=jnp.zeros((ns, SUBS, LANES), jnp.float32) if df64 else None,
+        s_batch=s_batch, rounds_=rounds, df64=df64)
+
+
+# measured v5e stream-engine cost constants (BASELINE.md round 3): every
+# slab in an ACTIVE step — padding included — costs ~SLAB_NS[s] of
+# gather issue + VPU ops (smaller batches hide gather latency worse, so
+# the per-slab cost rises as s shrinks), each active step pays a fixed
+# sequencing cost, and an all-empty (skipped) step only its zero-init
+# branch. Slabs are load-sorted per window, so padding beyond the last
+# active slab lands in the final active step or in skippable steps.
+SLAB_NS = {1: 190.0, 2: 150.0, 4: 125.0, 8: 110.0, 16: 101.0}
+STEP_NS = 300.0
+SKIP_NS = 60.0
+
+
+def pick_s_batch(wcnt: np.ndarray) -> int:
+    """Cost-minimizing slabs-per-step over the per-window slab counts
+    (round-2 verdict task 7: the blind power-of-2 fit padded mixed
+    clustered+uniform matrices with ~55 us of empty slabs). Larger
+    batches amortize the step cost and give Mosaic more independent
+    gather chains; smaller ones waste fewer padding slabs on lightly
+    loaded windows."""
+    best, best_cost = 1, None
+    for s, slab_ns in SLAB_NS.items():
+        active = -(-wcnt // s)              # steps carrying >= 1 slab
+        skipped = (wcnt == 0).sum()         # empty windows: 1 step each
+        cost = float((active * STEP_NS + active * s * slab_ns).sum()
+                     + skipped * SKIP_NS)
+        if best_cost is None or cost < best_cost * 0.98:
+            best, best_cost = s, cost
+    return best
 
 
 def _rank_within(key: np.ndarray) -> np.ndarray:
@@ -203,10 +264,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     wcnt = np.bincount(raw_win, minlength=n_windows)
     slabs_per_win = np.maximum(1, wcnt)
     if s_batch is None:
-        avg = float(slabs_per_win.sum()) / n_windows
-        s_batch = 1
-        while s_batch < 16 and s_batch * 2 <= avg:
-            s_batch *= 2
+        s_batch = pick_s_batch(wcnt)
     slabs_pad = -(-slabs_per_win // s_batch) * s_batch
     slab_start = np.concatenate([[0], np.cumsum(slabs_pad)])[:-1]
     nslabs = int(slabs_pad.sum())
@@ -285,14 +343,16 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
 def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
                    rounds) -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
-    cluster into trailing steps the kernel can skip) and build the
-    per-step control scalars."""
+    cluster into trailing steps the kernel can skip), stack the round
+    planes per step, and build the per-step control scalars. f64 values
+    are split into an exact (hi, lo) f32 plane pair for the double-f32
+    stream kernel."""
     nslabs = val_arr.shape[0]
     load = np.count_nonzero(val_arr.reshape(nslabs, -1), axis=1)
     order = np.lexsort((-load, win_arr))
     val_arr = val_arr[order]
     vidx_arr = vidx_arr[order]
-    planes = planes[order]
+    planes = stack_step_planes(planes[order], s_batch, rounds)
     sbase = sbase[order]
     load = load[order]
 
@@ -302,6 +362,13 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
     cfirst[1:] = (win_step[1:] != win_step[:-1]).astype(np.int32)
     sactive = (load.reshape(-1, s_batch).sum(axis=1) > 0).astype(np.int32)
 
+    df64 = val_arr.dtype == np.float64
+    val_lo = None
+    if df64:
+        hi = val_arr.astype(np.float32)
+        val_lo = jnp.asarray((val_arr - hi).astype(np.float32))
+        val_arr = hi
+
     return StreamChunks(
         val=jnp.asarray(val_arr),
         vidx=jnp.asarray(vidx_arr),
@@ -310,4 +377,5 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
         cw=jnp.asarray(cw),
         cfirst=jnp.asarray(cfirst),
         sactive=jnp.asarray(sactive),
-        s_batch=s_batch, rounds_=rounds)
+        val_lo=val_lo,
+        s_batch=s_batch, rounds_=rounds, df64=df64)

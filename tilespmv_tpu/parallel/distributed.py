@@ -309,12 +309,14 @@ def _unify_lane_plans(plans: list) -> list:
         ns = max(s.nslabs for s in per)
 
         def pad_stream(s):
-            planes = s.planes
+            planes = s.planes  # per-STEP stacked: (nsteps, R*3*8*S, 128)
             if s.rounds < rounds:
                 # extra rounds are all-zero: rend == rstart -> zero diff
                 planes = jnp.pad(
                     planes,
-                    [(0, 0), (0, (rounds - s.rounds) * 24), (0, 0)])
+                    [(0, 0),
+                     (0, (rounds - s.rounds) * 3 * 8 * s.s_batch),
+                     (0, 0)])
             extra = ns - s.nslabs
             if not extra and s.rounds == rounds:
                 return s
@@ -325,7 +327,9 @@ def _unify_lane_plans(plans: list) -> list:
             xsteps = extra // s.s_batch
             return StreamChunks(
                 val=padn(s.val), vidx=padn(s.vidx),
-                planes=padn(planes),
+                planes=jnp.concatenate(
+                    [planes, jnp.zeros((xsteps,) + planes.shape[1:],
+                                       planes.dtype)]),
                 sbase=jnp.concatenate(
                     [s.sbase, jnp.zeros(extra, jnp.int32)]),
                 cw=jnp.concatenate(
