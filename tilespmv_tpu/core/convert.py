@@ -233,6 +233,22 @@ def tile_create(csr: CSRMatrix,
     tile_rowidx = analysis["tile_rowidx"]
     tile_colidx = analysis["tile_colidx"]
     counts = analysis["counts"]
+
+    if "fill" in analysis:
+        # payload buckets came out of the native single pass
+        # (tileconv.cpp tc_fill — reference csr2tile.h:330-627); skip
+        # the NumPy scatters entirely
+        f = analysis["fill"]
+        return TileMatrix(
+            shape=(m, n), nnz=nnz, config=cfg,
+            tilem=tilem, tilen=tilen,
+            tile_ptr=tile_ptr, tile_rowidx=tile_rowidx,
+            tile_columnidx=tile_colidx,
+            tile_nnz=_exclusive_scan(counts), fmt=analysis["fmt"],
+            csr=CSRBucket(**f["csr"]), coo=COOBucket(**f["coo"]),
+            ell=ELLBucket(**f["ell"]), hyb=HYBBucket(**f["hyb"]),
+            dns=DNSBucket(**f["dns"]), dnsrow=DNSRowBucket(**f["dnsrow"]),
+            dnscol=DNSColBucket(**f["dnscol"]))
     row_hist = analysis["row_hist"]
     col_hist = analysis["col_hist"]
     fmt = analysis["fmt"]

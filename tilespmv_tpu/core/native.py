@@ -24,12 +24,14 @@ _tried = False
 
 
 def _build() -> bool:
+    # always invoke make: it is a timestamp no-op when the .so is up to
+    # date, and it rebuilds a stale committed .so after source edits
     try:
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
                        capture_output=True, timeout=120)
         return _LIB_PATH.exists()
     except Exception:
-        return False
+        return _LIB_PATH.exists()
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -42,7 +44,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("TILESPMV_NATIVE", "1") == "0":
             return None
-        if not _LIB_PATH.exists() and not _build():
+        if not _build():
             return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
@@ -67,10 +69,89 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
+def _init_fill_symbols(lib) -> bool:
+    try:
+        lib.tc_fill.restype = ctypes.c_int32
+        lib.tc_fill.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.tc_fill_scalars.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.tc_fill_export.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        return True
+    except AttributeError:
+        return False
+
+
+def _export_fill(lib, h, vdt: np.dtype) -> Optional[dict]:
+    """Export the native payload buckets (tc_fill must have returned 1).
+    Returns {bucket: {field: ndarray}} mirroring convert.py's fills."""
+    sc = np.zeros(17, np.int64)
+    lib.tc_fill_scalars(h, sc.ctypes.data)
+    (csr_k, csr_nnz, coo_k, coo_nnz, ell_k, ell_len, hyb_k, hyb_ell,
+     hyb_coo, dns_k, dns_len, dr_k, dr_rows, dr_len, dc_k, dc_cols,
+     dc_len) = (int(v) for v in sc)
+    f = dict(
+        csr=dict(tile_ids=np.zeros(csr_k, np.int32),
+                 nnz_ptr=np.zeros(csr_k + 1, np.int64),
+                 rowptr=np.zeros((csr_k, 16), np.uint8),
+                 row=np.zeros(csr_nnz, np.uint8),
+                 col=np.zeros(csr_nnz, np.uint8),
+                 val=np.zeros(csr_nnz, vdt)),
+        coo=dict(tile_ids=np.zeros(coo_k, np.int32),
+                 nnz_ptr=np.zeros(coo_k + 1, np.int64),
+                 row=np.zeros(coo_nnz, np.uint8),
+                 col=np.zeros(coo_nnz, np.uint8),
+                 val=np.zeros(coo_nnz, vdt)),
+        ell=dict(tile_ids=np.zeros(ell_k, np.int32),
+                 width=np.zeros(ell_k, np.int16),
+                 ptr=np.zeros(ell_k + 1, np.int64),
+                 col=np.zeros(ell_len, np.uint8),
+                 val=np.zeros(ell_len, vdt)),
+        hyb=dict(tile_ids=np.zeros(hyb_k, np.int32),
+                 width=np.zeros(hyb_k, np.int16),
+                 ell_ptr=np.zeros(hyb_k + 1, np.int64),
+                 ell_col=np.zeros(hyb_ell, np.uint8),
+                 ell_val=np.zeros(hyb_ell, vdt),
+                 coo_ptr=np.zeros(hyb_k + 1, np.int64),
+                 coo_row=np.zeros(hyb_coo, np.uint8),
+                 coo_col=np.zeros(hyb_coo, np.uint8),
+                 coo_val=np.zeros(hyb_coo, vdt)),
+        dns=dict(tile_ids=np.zeros(dns_k, np.int32),
+                 ptr=np.zeros(dns_k + 1, np.int64),
+                 val=np.zeros(dns_len, vdt)),
+        dnsrow=dict(tile_ids=np.zeros(dr_k, np.int32),
+                    row_ptr=np.zeros(dr_k + 1, np.int64),
+                    row_ids=np.zeros(dr_rows, np.uint8),
+                    ptr=np.zeros(dr_k + 1, np.int64),
+                    val=np.zeros(dr_len, vdt)),
+        dnscol=dict(tile_ids=np.zeros(dc_k, np.int32),
+                    col_ptr=np.zeros(dc_k + 1, np.int64),
+                    col_ids=np.zeros(dc_cols, np.uint8),
+                    ptr=np.zeros(dc_k + 1, np.int64),
+                    val=np.zeros(dc_len, vdt)))
+    order = [("csr", "tile_ids"), ("csr", "nnz_ptr"), ("csr", "rowptr"),
+             ("csr", "row"), ("csr", "col"), ("csr", "val"),
+             ("coo", "tile_ids"), ("coo", "nnz_ptr"), ("coo", "row"),
+             ("coo", "col"), ("coo", "val"),
+             ("ell", "tile_ids"), ("ell", "width"), ("ell", "ptr"),
+             ("ell", "col"), ("ell", "val"),
+             ("hyb", "tile_ids"), ("hyb", "width"), ("hyb", "ell_ptr"),
+             ("hyb", "ell_col"), ("hyb", "ell_val"), ("hyb", "coo_ptr"),
+             ("hyb", "coo_row"), ("hyb", "coo_col"), ("hyb", "coo_val"),
+             ("dns", "tile_ids"), ("dns", "ptr"), ("dns", "val"),
+             ("dnsrow", "tile_ids"), ("dnsrow", "row_ptr"),
+             ("dnsrow", "row_ids"), ("dnsrow", "ptr"), ("dnsrow", "val"),
+             ("dnscol", "tile_ids"), ("dnscol", "col_ptr"),
+             ("dnscol", "col_ids"), ("dnscol", "ptr"), ("dnscol", "val")]
+    bufs = (ctypes.c_void_p * len(order))(
+        *[f[b][k].ctypes.data for (b, k) in order])
+    lib.tc_fill_export(h, bufs)
+    return f
+
+
 def analyze(m: int, n: int, indptr: np.ndarray, indices: np.ndarray,
             data: np.ndarray, cfg) -> Optional[dict]:
-    """Run the native analysis; returns the converter-internal dict or
-    None when the native path can't serve this config."""
+    """Run the native analysis (+ payload bucket fills when the value
+    dtype allows); returns the converter-internal dict or None when the
+    native path can't serve this config."""
     if cfg.tile_size != 16:
         return None
     lib = get_lib()
@@ -94,31 +175,44 @@ def analyze(m: int, n: int, indptr: np.ndarray, indices: np.ndarray,
         scalars = np.zeros(4, np.int64)
         lib.tc_scalars(h, scalars.ctypes.data)
         tilenum, tilem, tilen, _ = (int(v) for v in scalars)
+        vdt = np.dtype(cfg.value_dtype)
+        fill = None
+        if (vdt.itemsize in (4, 8) and vdt.kind == "f"
+                and _init_fill_symbols(lib)
+                and lib.tc_fill(h, vdt.itemsize)):
+            fill = _export_fill(lib, h, vdt)
         out = dict(
             tilem=tilem, tilen=tilen,
             tile_ptr=np.zeros(tilem + 1, np.int64),
             tile_rowidx=np.zeros(tilenum, np.int32),
             tile_colidx=np.zeros(tilenum, np.int32),
             counts=np.zeros(tilenum, np.int64),
-            row_hist=np.zeros((tilenum, 16), np.uint8),
-            col_hist=np.zeros((tilenum, 16), np.uint8),
             fmt=np.zeros(tilenum, np.int8),
-            ell_width=np.zeros(tilenum, np.int16),
-            hyb_width=np.zeros(tilenum, np.int16),
-            hyb_coo=np.zeros(tilenum, np.int32),
-            val_s=np.zeros(nnz, np.float64),
-            ri_s=np.zeros(nnz, np.uint8),
-            ci_s=np.zeros(nnz, np.uint8),
         )
+        if fill is None:
+            # full export: the NumPy bucket fills need the sorted stream,
+            # histograms, and selector side outputs
+            out.update(
+                row_hist=np.zeros((tilenum, 16), np.uint8),
+                col_hist=np.zeros((tilenum, 16), np.uint8),
+                ell_width=np.zeros(tilenum, np.int16),
+                hyb_width=np.zeros(tilenum, np.int16),
+                hyb_coo=np.zeros(tilenum, np.int32),
+                val_s=np.zeros(nnz, np.float64),
+                ri_s=np.zeros(nnz, np.uint8),
+                ci_s=np.zeros(nnz, np.uint8),
+            )
+
+        def ptr(key):
+            return out[key].ctypes.data if key in out else None
         lib.tc_export(
             h,
-            out["tile_ptr"].ctypes.data, out["tile_rowidx"].ctypes.data,
-            out["tile_colidx"].ctypes.data, out["counts"].ctypes.data,
-            out["row_hist"].ctypes.data, out["col_hist"].ctypes.data,
-            out["fmt"].ctypes.data, out["ell_width"].ctypes.data,
-            out["hyb_width"].ctypes.data, out["hyb_coo"].ctypes.data,
-            out["val_s"].ctypes.data, out["ri_s"].ctypes.data,
-            out["ci_s"].ctypes.data)
+            ptr("tile_ptr"), ptr("tile_rowidx"), ptr("tile_colidx"),
+            ptr("counts"), ptr("row_hist"), ptr("col_hist"), ptr("fmt"),
+            ptr("ell_width"), ptr("hyb_width"), ptr("hyb_coo"),
+            ptr("val_s"), ptr("ri_s"), ptr("ci_s"))
+        if fill is not None:
+            out["fill"] = fill
         return out
     finally:
         lib.tc_release(h)
