@@ -101,9 +101,13 @@ def test_halo_ragged_n():
 def test_benchmark_column_partitioned():
     """benchmark_op handles the column-partitioned operator (plan=None)."""
     from tilespmv_tpu.bench.harness import benchmark_op
+    # xla backend: the test targets the plan=None harness path, and the
+    # pallas path on CPU is interpret-mode (each iteration ~seconds —
+    # this one test used to cost 399 s of the suite's 868 s)
     csr = generate.mixed_structure(256, 1024, seed=9)
-    op = TileSpMV(csr, backend="pallas", max_cols_per_plan=256)
-    res = benchmark_op(op, warmup=1, timed_reps=1, iters_per_rep=2)
+    op = TileSpMV(csr, backend="xla", max_cols_per_plan=512)
+    res = benchmark_op(op, warmup=1, timed_reps=1, iters_per_rep=2,
+                       budget_s=0.0)   # no escalation: smoke only
     assert res.nnz == csr.nnz and res.ms > 0
     assert res.n == 1024
 

@@ -43,6 +43,12 @@ class BenchResult:
     chip: str
     backend: str
     iters: int
+    # measurement quality (round-2 verdict, weak item 1): False when the
+    # k_big/k_small delta stayed within host jitter after escalation, the
+    # rep spread exceeded 30%, or the implied GFLOPS exceeds the chip's
+    # physical compute peak. Unreliable rows must NOT enter results.csv.
+    reliable: bool = True
+    spread: float = 0.0   # (p84 - p16) / median of the timed diffs
 
     def csv_row(self) -> str:
         """Reference results.csv schema: filename,m,n,nnz,ms,gflops
@@ -117,7 +123,8 @@ def _timed(fn, *args) -> float:
 
 def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
                  name: str = "matrix", warmup: int = 2,
-                 timed_reps: int = 5, iters_per_rep: int = 100) -> BenchResult:
+                 timed_reps: int = 5, iters_per_rep: int = 100,
+                 budget_s: float = 3.0) -> BenchResult:
     """Benchmark one compiled operator on the current default device.
 
     Uses the difference method: per-iteration time is
@@ -155,39 +162,75 @@ def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
     # Calibrate: pick k_big so the k_big-vs-k_small delta (the quantity we
     # actually measure) is ~50 ms — far above host-round-trip jitter. One
     # extra compile, but tiny matrices would otherwise measure noise.
-    k_cal = 32
+    k_cal = min(32, max(2, iters_per_rep))
     t_cal = _timed(functools.partial(loop, iters=k_cal), plan_arg, xj)
     t_cal = _timed(functools.partial(loop, iters=k_cal), plan_arg, xj)
     per_iter_est = max((t_cal - 0.02) / k_cal, 1e-7)
     k_big = int(np.clip(0.05 / per_iter_est, iters_per_rep, 1_000_000))
-    k_small = max(1, k_big // 16)
 
-    for _ in range(max(warmup, 1)):
-        _timed(functools.partial(loop, iters=k_small), plan_arg, xj)
-        _timed(functools.partial(loop, iters=k_big), plan_arg, xj)
-
-    diffs = []
-    for _ in range(timed_reps):
-        t_small = _timed(functools.partial(loop, iters=k_small),
-                         plan_arg, xj)
-        t_big = _timed(functools.partial(loop, iters=k_big), plan_arg, xj)
-        diffs.append((t_big - t_small) / (k_big - k_small))
-    dt = float(np.median(diffs))
-    dt = max(dt, 1e-9)
+    # Measure; if the delta we measured is within host jitter or the rep
+    # spread is wide, escalate the iteration count and retry rather than
+    # recording a noise-floor number (round-2 verdict, weak item 1 —
+    # results_r2.csv carried a clamped 1e-9 s row as 139 TFLOPS).
+    MIN_DELTA_S = 0.025       # smallest trustworthy k_big-vs-k_small delta
+    MAX_SPREAD = 0.30
+    dt = float("nan")
+    spread = float("inf")
+    for _attempt in range(3):
+        k_small = max(1, k_big // 16)
+        for _ in range(max(warmup, 1)):
+            _timed(functools.partial(loop, iters=k_small), plan_arg, xj)
+            _timed(functools.partial(loop, iters=k_big), plan_arg, xj)
+        diffs = []
+        deltas = []
+        for _ in range(timed_reps):
+            t_small = _timed(functools.partial(loop, iters=k_small),
+                             plan_arg, xj)
+            t_big = _timed(functools.partial(loop, iters=k_big),
+                           plan_arg, xj)
+            deltas.append(t_big - t_small)
+            diffs.append((t_big - t_small) / (k_big - k_small))
+        dt = float(np.median(diffs))
+        delta_med = float(np.median(deltas))
+        p16, p84 = np.percentile(diffs, [16, 84])
+        spread = float((p84 - p16) / dt) if dt > 0 else float("inf")
+        if delta_med >= MIN_DELTA_S and spread <= MAX_SPREAD and dt > 0:
+            break
+        # escalate within the wall-clock budget: one timed rep costs
+        # ~k_big * dt, so cap k_big at budget_s / dt (keeps smoke-test
+        # configs from ballooning into minutes on slow CPU paths)
+        per_iter = dt if dt > 0 and np.isfinite(dt) else per_iter_est
+        k_cap = min(4_000_000, int(budget_s / max(per_iter, 1e-9)))
+        if k_big >= k_cap:
+            break
+        scale = max(2.0, MIN_DELTA_S / max(delta_med, 1e-4))
+        k_big = int(min(k_big * scale, k_cap))
 
     chip = roofline.detect_chip()
+    reliable = (dt > 0 and np.isfinite(dt) and spread <= MAX_SPREAD)
+    dt = max(dt, 1e-9)
     gflops = flops / dt / 1e9
+    if gflops > roofline.peak_compute_gflops(chip):
+        reliable = False   # physically impossible: above the MXU peak
     return BenchResult(
         name=name, m=m, n=n, nnz=nnz,
         ms=dt * 1e3, gflops=gflops,
         gnnz_per_s=nnz / dt / 1e9,
         gbytes_per_s=nbytes / dt / 1e9,
         roofline_frac=(nbytes / dt / 1e9) / roofline.peak_bandwidth_gbps(chip),
-        chip=chip, backend=op.backend, iters=timed_reps * iters_per_rep)
+        chip=chip, backend=op.backend, iters=timed_reps * iters_per_rep,
+        reliable=reliable, spread=spread)
 
 
 def append_results_csv(path: str, result: BenchResult) -> None:
     """Append-only CSV in the reference's schema
-    (tilespmv_cuda.h:1141-1147)."""
+    (tilespmv_cuda.h:1141-1147). Refuses unreliable rows: a record the
+    harness knows is at the noise floor must never enter the results
+    file (round-2 verdict, weak item 1)."""
+    if not result.reliable:
+        raise ValueError(
+            f"refusing to record unreliable measurement for {result.name} "
+            f"(spread={result.spread:.2f}); escalate iterations or mark "
+            "the row unmeasurable")
     with open(path, "a") as f:
         f.write(result.csv_row() + "\n")

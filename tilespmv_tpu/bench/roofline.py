@@ -19,6 +19,17 @@ HBM_GBPS = {
     "cpu": 50.0,  # rough, for smoke-testing the harness off-TPU
 }
 
+# Peak dense compute per chip, GFLOPS (bf16 MXU spec numbers) — used as
+# a physical sanity BOUND on benchmark results, not as a target: no SpMV
+# measurement can legitimately exceed it (round-2 verdict, weak item 1).
+PEAK_GFLOPS = {
+    "v4": 275e3,
+    "v5e": 197e3,
+    "v5p": 459e3,
+    "v6e": 918e3,
+    "cpu": 2e3,
+}
+
 
 def detect_chip() -> str:
     """Best-effort chip generation of the default device."""
@@ -42,6 +53,10 @@ def detect_chip() -> str:
 
 def peak_bandwidth_gbps(chip: str | None = None) -> float:
     return HBM_GBPS[chip or detect_chip()]
+
+
+def peak_compute_gflops(chip: str | None = None) -> float:
+    return PEAK_GFLOPS[chip or detect_chip()]
 
 
 def roofline_gflops(flops: int, bytes_accessed: int,

@@ -39,16 +39,20 @@ def sweep(names: Optional[Iterable[str]] = None,
         t_convert = time.perf_counter() - t0
         res = benchmark_op(op, name=name)
         results.append(res)
-        if csv_path:
+        if csv_path and res.reliable:
             append_results_csv(csv_path, res)
         if verbose:
             hist = op.tile_matrix.format_histogram()
+            qual = ("" if res.reliable else
+                    f"  [UNRELIABLE spread={res.spread:.0%} — row NOT "
+                    "recorded]")
             print(f"{name}: m={res.m} nnz={res.nnz} "
                   f"ms={res.ms:.4f} GFLOPS={res.gflops:.2f} "
                   f"GB/s={res.gbytes_per_s:.1f} "
                   f"roofline={res.roofline_frac:.1%} "
                   f"(gen {t_load:.2f}s, convert+plan {t_convert:.2f}s) "
-                  f"formats={ {k: v for k, v in hist.items() if v} }")
+                  f"formats={ {k: v for k, v in hist.items() if v} }"
+                  f"{qual}")
     if json_path:
         with open(json_path, "w") as f:
             json.dump([r.to_dict() for r in results], f, indent=2)

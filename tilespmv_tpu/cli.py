@@ -212,12 +212,17 @@ def main(argv=None) -> int:
 
     res = benchmark_op(op, x=x, name=args.matrix, warmup=args.warmup,
                        timed_reps=args.reps, iters_per_rep=args.iters)
+    qual = ("" if res.reliable
+            else f"  [UNRELIABLE: spread={res.spread:.0%}]")
     print(f"TileSpMV: {res.ms:.4f} ms, {res.gflops:.2f} GFLOPS, "
           f"{res.gnnz_per_s * 1e3:.2f} Mnnz/ms, "
           f"{res.gbytes_per_s:.1f} GB/s "
-          f"({res.roofline_frac:.1%} of {res.chip} HBM roofline)")
+          f"({res.roofline_frac:.1%} of {res.chip} HBM roofline){qual}")
     if args.csv:
-        append_results_csv(args.csv, res)
+        if res.reliable:
+            append_results_csv(args.csv, res)
+        else:
+            print(f"not recording unreliable row to {args.csv}")
     return 0
 
 
