@@ -24,7 +24,9 @@ from tilespmv_tpu.parallel import (DistributedSpMV, DistributedSpMV2D,
 from tilespmv_tpu.bench.scaling import scaling_sweep
 
 
-def main():
+def main(quick: bool = False):
+    """`quick` limits the scaling sweep to one device count (used by the
+    test suite: each count is a separate shard_map compile on this box)."""
     ndev = len(jax.devices())
     csr = generate.get_matrix("banded_medium")
     x = np.linspace(-1, 1, csr.n).astype(np.float32)
@@ -50,8 +52,8 @@ def main():
 
     # strong scaling (absolute numbers only meaningful on real chips)
     print("strong scaling:")
-    scaling_sweep(csr, device_counts=[d for d in (1, 2, 4, 8)
-                                      if d <= ndev])
+    counts = [d for d in (1, 2, 4, 8) if d <= ndev]
+    scaling_sweep(csr, device_counts=counts[-1:] if quick else counts)
 
 
 if __name__ == "__main__":

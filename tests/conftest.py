@@ -14,6 +14,18 @@ jax.config.update("jax_num_cpu_devices", 8)
 # the Pallas kernels trace themselves with x64 off (_x32_trace)
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is compile-bound on this
+# 1-core box (every Pallas interpret/shard_map program is an XLA:CPU
+# compile); caching makes repeat runs several minutes faster.
+import pathlib  # noqa: E402
+
+_cache = pathlib.Path(__file__).resolve().parents[1] / ".cache" / "jax"
+_cache.mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -21,4 +21,6 @@ def test_pagerank_example():
 
 def test_distributed_example():
     from examples import distributed_run
-    distributed_run.main()   # asserts internally via prints; errors raise
+    # quick=True: one scaling-sweep point (each count is a fresh
+    # shard_map compile; the full sweep is covered on real hardware)
+    distributed_run.main(quick=True)
