@@ -165,7 +165,14 @@ def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
     k_cal = min(32, max(2, iters_per_rep))
     t_cal = _timed(functools.partial(loop, iters=k_cal), plan_arg, xj)
     t_cal = _timed(functools.partial(loop, iters=k_cal), plan_arg, xj)
-    per_iter_est = max((t_cal - 0.02) / k_cal, 1e-7)
+    # only subtract the ~20 ms dispatch estimate when the measurement is
+    # actually dispatch-dominated (the tunneled TPU); on a fast-dispatch
+    # backend t_cal can be well under it, and subtracting would floor the
+    # estimate and balloon k_big by orders of magnitude
+    if t_cal >= 0.025:
+        per_iter_est = max((t_cal - 0.02) / k_cal, 1e-7)
+    else:
+        per_iter_est = max(t_cal / k_cal, 1e-7)
     k_big = int(np.clip(0.05 / per_iter_est, iters_per_rep, 1_000_000))
 
     # Measure; if the delta we measured is within host jitter or the rep
