@@ -39,9 +39,14 @@ def test_band_class_partial_window():
     assert plan.band is not None
 
 
-def test_w_class_capacity_boundary():
+def test_w_class_capacity_boundary(monkeypatch):
     """Tiles with exactly W-1 entries sit at each class's capacity; use
-    enough tiles that the thin-class merging keeps real W classes."""
+    enough tiles that the thin-class merging keeps real W classes.
+    Routing is pinned to the fixed-threshold arm: the cost model may
+    legitimately densify packed 95-entry populations, but this test's
+    job is exercising the W-kernel capacity boundaries."""
+    from tilespmv_tpu.ops.pallas import lane_plan
+    monkeypatch.setattr(lane_plan, "ROUTE_MODE", "fixed")
     rng = np.random.default_rng(7)
     rows, cols = [], []
     t = 0
@@ -134,3 +139,40 @@ def test_band_rejected_for_scattered_matrices():
     csr = generate.random_uniform(4096, 4096, 0.01, seed=10)
     plan = build_lane_plan(tile_create(csr))
     assert plan.band is None
+
+
+def test_cost_model_routing_arm(monkeypatch):
+    """The model routing arm (lane_plan.ROUTE_MODE = "model"): a PACKED
+    population of ~80-entry tiles (full lanes, local panels) densifies —
+    matching the round-2 isolated crossover measurement — and the
+    resulting plan stays exact. The default arm stays "fixed" until the
+    COST constants are TPU-calibrated (see ROUTE_MODE comment)."""
+    from tilespmv_tpu.ops.pallas import lane_plan
+    monkeypatch.setattr(lane_plan, "ROUTE_MODE", "model")
+    rng = np.random.default_rng(11)
+    rows, cols = [], []
+    for t in range(1024):
+        sl = rng.choice(256, 80, replace=False)
+        rows.append((t // 64) * 16 + sl // 16)
+        cols.append((t % 64) * 16 + sl % 16)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = rng.standard_normal(rows.size)
+    csr = csr_from_coo(int(rows.max()) + 1, int(cols.max()) + 1,
+                       rows, cols, vals)
+    packed = _check(csr)
+    assert packed.dense is not None and not packed.sparses
+
+
+def test_route_modes_agree_on_exactness():
+    """Both routing arms produce exact plans on a mixed matrix (they may
+    route different classes; the result must not change)."""
+    from tilespmv_tpu.ops.pallas import lane_plan
+    csr = generate.mixed_structure(2048, 2048, seed=13)
+    old = lane_plan.ROUTE_MODE
+    try:
+        for mode in ("fixed", "model"):
+            lane_plan.ROUTE_MODE = mode
+            _check(csr)
+    finally:
+        lane_plan.ROUTE_MODE = old

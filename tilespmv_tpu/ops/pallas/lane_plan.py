@@ -421,6 +421,157 @@ def _pick_cb(trow: np.ndarray, tcol: np.ndarray, tilem: int,
     return best
 
 
+# ---------------------------------------------------------------------------
+# Per-matrix execution cost model (round-2 verdict task 5; the TPU
+# re-derivation of the reference's byte-minimizing selector search,
+# csr2tile.h:279-306). Every chunked class costs
+#
+#     steps * step_ns  +  padded_chunk_bytes / hbm  +  chunks * vpu_ns
+#     + one dispatch,
+#
+# with the SAME per-window step-count estimate _pick_cb optimizes. This
+# resolves the round-2 isolated-vs-in-situ crossover contradiction
+# (BASELINE.md): isolated uniform populations fill their chunks (dense
+# ~1.8 ns/tile, beats W96's ~5 ns/tile from ~64 entries up), but
+# scattered tiles cut panel-limited steps and pad lanes, so the SAME
+# dense class on mixed_large streams mostly-zero 1 KB blocks and loses
+# to W96 by >2x — the fixed DENSE_MIN_NNZ threshold could not be right
+# in both regimes because the crossover depends on lane fill and panel
+# locality, which the step/padding terms carry explicitly.
+COST = dict(
+    step_ns=250.0,          # per-grid-step fixed cost (round-1 measured)
+    call_ns=3000.0,         # per-pallas-call dispatch (tunnel-measured;
+    #                         relative routing is insensitive to ±2 us)
+    hbm_b_per_ns=800.0,     # 800 GB/s streaming = 800 bytes/ns
+    vpu_ns_per_el=2.2e-3,   # VPU peak, ns per lane element
+    sparse_chunk_ns=120.0,  # per sparse chunk: prefix matmul + decode
+    sparse_slot_ns=1.3,     # per value slot: sublane gather, amortized
+    #                         (anchored to mixed_large W96 = 13.5 us and
+    #                         the isolated dense>=64 crossover, round 2)
+)
+# routing mode: "model" = cost-model threshold search, "fixed" = the
+# round-2 DENSE_MIN_NNZ constant (also used under force_t so SPMD
+# shards can never route divergently). Default stays "fixed" until the
+# constants are calibrated against forced-routing A/B runs on the real
+# chip (scripts/calibrate_cost.py): the two round-2 anchors (isolated
+# packed populations densify from ~64 entries; mixed_large's clustered
+# 80-entry band measured W96 13.5 us vs dense ~31 us) cannot both be
+# reproduced by the geometry terms alone — the dense side of the
+# in-situ anchor runs ~2x over its byte/step model, so an uncalibrated
+# per-chunk execution constant would be a guess, and flipping the
+# default on a guess is how round 2's contradiction happened.
+ROUTE_MODE = "fixed"
+# calibration hook (scripts/calibrate_cost.py): force "densify bands >=
+# theta" regardless of mode; None = disabled
+ROUTE_FORCE_THETA = None
+# above this tile count the candidate search runs on a 1-in-8 window
+# sample (costs scale uniformly across candidates; conversion stays fast)
+ROUTE_SAMPLE_TILES = 200_000
+
+
+def _est_class_cost(trow, tcol, t_lanes, k_panels, c_batch,
+                    chunk_bytes, vpu_chunk_ns) -> float:
+    """Predicted execution ns of one chunked class (see COST above)."""
+    cnt, panels = _window_stats(trow, tcol)
+    ln = max(len(cnt), len(panels))
+    cnt = np.pad(cnt, (0, ln - len(cnt)))
+    panels = np.pad(panels, (0, ln - len(panels)))
+    nch = np.ceil(cnt / t_lanes)
+    steps = np.maximum(np.ceil(nch / c_batch), np.ceil(panels / k_panels))
+    nchunks = float((steps * c_batch).sum())
+    return (float(steps.sum()) * COST["step_ns"]
+            + nchunks * chunk_bytes / COST["hbm_b_per_ns"]
+            + nchunks * vpu_chunk_ns
+            + COST["call_ns"])
+
+
+def _merge_thin_classes(widx: np.ndarray) -> np.ndarray:
+    """Merge thin W classes upward (fewer kernel launches); the top class
+    merges into dense; small matrices collapse all sparse classes into
+    the widest one in use (one launch beats the padding it wastes)."""
+    widx = widx.copy()
+    for k in range(len(W_CHOICES)):
+        cnt_k = int(np.sum(widx == k))
+        if 0 < cnt_k < MIN_CLASS_TILES:
+            widx[widx == k] = k + 1
+    sp_mask = widx < len(W_CHOICES)
+    if 0 < int(sp_mask.sum()) < 4 * MIN_CLASS_TILES:
+        widx[sp_mask] = int(widx[sp_mask].max())
+    return widx
+
+
+def _dense_cost(dtr, dtc, tilem: int) -> float:
+    t = _pick_t(dtr, dtc, tilem)
+    cbytes = (16 * 16 * t + DENSE_MROWS * t) * 4
+    kp = _pick_k(dtr, dtc, t)
+    cb = _pick_cb(dtr, dtc, tilem, t, kp, cbytes)
+    kp = _pick_k(dtr, dtc, cb * t)
+    return _est_class_cost(dtr, dtc, t, kp, cb, cbytes,
+                           16 * 16 * t * COST["vpu_ns_per_el"])
+
+
+def _sparse_cost(str_, stc, width: int, tilem: int) -> float:
+    t = SPARSE_T
+    cbytes = (width * t + sparse_meta_rows(width) * t) * 4
+    kp = _pick_k(str_, stc, t)
+    cb = _pick_cb(str_, stc, tilem, t, kp, cbytes)
+    kp = _pick_k(str_, stc, cb * t)
+    return _est_class_cost(
+        str_, stc, t, kp, cb, cbytes,
+        COST["sparse_chunk_ns"] + width * COST["sparse_slot_ns"])
+
+
+def _route_classes(trow, tcol, counts, tilem: int,
+                   fixed: bool = False) -> np.ndarray:
+    """Assign each non-band tile to the dense class or a W class.
+
+    Returns widx in [0, len(W_CHOICES)]; len(W_CHOICES) = dense. Model
+    mode evaluates every densify-from-band-theta-up candidate with the
+    cost model and keeps the argmin; fixed mode applies the round-2
+    DENSE_MIN_NNZ constant (ablation / SPMD-deterministic arm)."""
+    nb = len(W_CHOICES)
+    band_idx = np.searchsorted(np.asarray(W_CHOICES), counts + 1)
+    if ROUTE_FORCE_THETA is not None:
+        widx = np.where(band_idx >= ROUTE_FORCE_THETA, nb, band_idx)
+        return _merge_thin_classes(widx)
+    if fixed or ROUTE_MODE == "fixed" or counts.size == 0:
+        widx = band_idx.copy()
+        widx[counts >= DENSE_MIN_NNZ] = nb
+        return _merge_thin_classes(widx)
+
+    etr, etc_, ebi = trow, tcol, band_idx
+    if counts.size > ROUTE_SAMPLE_TILES:
+        sm = (trow // ROW_WINDOW) % 8 == 0
+        if sm.any():
+            etr, etc_, ebi = trow[sm], tcol[sm], band_idx[sm]
+
+    best_widx, best_cost = None, None
+    for theta in range(nb + 1):
+        wfull = np.where(band_idx >= theta, nb, band_idx)
+        wfull = _merge_thin_classes(wfull)
+        # per-band merged target from the FULL population (the sampled
+        # copy must mirror the real merge decisions, not re-derive them
+        # from 1/8-scale counts)
+        target = np.full(nb + 1, nb, np.int64)
+        for b_ in range(min(theta, nb)):
+            sel_b = np.nonzero(band_idx == b_)[0]
+            if sel_b.size:
+                target[b_] = wfull[sel_b[0]]
+        weval = target[ebi]
+        cost = 0.0
+        dm = weval >= nb
+        if dm.any():
+            cost += _dense_cost(etr[dm], etc_[dm], tilem)
+        for k in range(nb):
+            sm_k = weval == k
+            if sm_k.any():
+                cost += _sparse_cost(etr[sm_k], etc_[sm_k], W_CHOICES[k],
+                                     tilem)
+        if best_cost is None or cost < best_cost * 0.99:
+            best_widx, best_cost = wfull, cost
+    return best_widx
+
+
 def _pick_t(trow: np.ndarray, tcol: np.ndarray, tilem: int) -> int:
     """Lane width per chunk: wide chunks amortize per-chunk fixed costs
     (measured ~4x on v5e), narrow ones waste less padding — and chunks
@@ -793,10 +944,9 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                 trow[~band_tile_mask], tcol[~band_tile_mask],
                 counts[~band_tile_mask], er[esel], ec[esel], ev[esel])
 
-    # --- execution routing: per tile, dense block vs sparse-entry class
-    dense_mask = counts >= DENSE_MIN_NNZ
-    widx = np.searchsorted(np.asarray(W_CHOICES), counts + 1)
-    widx[dense_mask] = len(W_CHOICES)
+    # --- execution routing: per tile, dense block vs sparse-entry class,
+    # chosen by the execution cost model (see COST above; force_t pins
+    # the fixed threshold so SPMD shards can never route divergently)
     if cdt == np.dtype(np.float64):
         # double-f32 W-class kernels would pay 4 sublane gathers per
         # (slot, operand half); densified tiles run the existing dense
@@ -804,19 +954,10 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         # still HBM-streaming (the f64 budget is ~5x f32, and these
         # matrices' tile counts are small compared to the COO/stream
         # population, which has its own df64 engine)
-        widx[:] = len(W_CHOICES)
-    # merge thin classes upward (fewer kernel launches); the top class
-    # merges into dense
-    for k in range(len(W_CHOICES)):
-        cnt_k = int(np.sum(widx == k))
-        if 0 < cnt_k < MIN_CLASS_TILES:
-            widx[widx == k] = k + 1
-    # small matrices: one kernel launch costs more than the padding a
-    # single merged class wastes — collapse all sparse classes into the
-    # widest one in use
-    sp_mask = widx < len(W_CHOICES)
-    if 0 < int(sp_mask.sum()) < 4 * MIN_CLASS_TILES:
-        widx[sp_mask] = int(widx[sp_mask].max())
+        widx = np.full(counts.shape, len(W_CHOICES), np.int64)
+    else:
+        widx = _route_classes(trow, tcol, counts, tm.tilem,
+                              fixed=force_t is not None)
     dense_mask = widx >= len(W_CHOICES)
 
     entry_owner = np.repeat(np.arange(trow.shape[0]), counts)
