@@ -193,14 +193,23 @@ def _two_sum(a, b):
     return t, (a - (t - bb)) + (b - bb)
 
 
-def _write_out_df64(i, cfirst, yh, yl, out_h_ref, out_l_ref):
+def _write_out_df64(i, cfirst, yh, yl, out_h_ref, out_l_ref,
+                    prev_h_ref=None, prev_l_ref=None):
     """Accumulate a (hi, lo) pair into the window outputs with a
     compensated hi add (plain f32 += of hi parts would throw away the
-    double-f32 precision across chunks/steps)."""
+    double-f32 precision across chunks/steps). With prev refs (the
+    previous class's outputs aliased into this call's — see
+    spmv_pallas), the window's first step seeds from them instead of
+    overwriting, fusing the per-class XLA adds away."""
     @pl.when(cfirst[i] == 1)
     def _():
-        out_h_ref[...] = yh
-        out_l_ref[...] = yl
+        if prev_h_ref is None:
+            out_h_ref[...] = yh
+            out_l_ref[...] = yl
+        else:
+            t, e = _two_sum(prev_h_ref[...], yh)
+            out_h_ref[...] = t
+            out_l_ref[...] = prev_l_ref[...] + yl + e
 
     @pl.when(cfirst[i] == 0)
     def _():
@@ -209,10 +218,11 @@ def _write_out_df64(i, cfirst, yh, yl, out_h_ref, out_l_ref):
         out_l_ref[...] += yl + e
 
 
-def _write_out(i, cfirst, yblk, out_ref):
+def _write_out(i, cfirst, yblk, out_ref, prev_ref=None):
     @pl.when(cfirst[i] == 1)
     def _():
-        out_ref[...] = yblk
+        out_ref[...] = (yblk if prev_ref is None
+                        else prev_ref[...] + yblk)
 
     @pl.when(cfirst[i] == 0)
     def _():
@@ -220,11 +230,17 @@ def _write_out(i, cfirst, yblk, out_ref):
 
 
 def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
-                  *refs,                     # panels, val, meta, out[,lo]
+                  *refs,       # panels, val, meta[, prev...], out[, lo]
                   t: int, k_panels: int, c_batch: int, acc_dtype,
-                  df64: bool = False, interpret: bool = False):
+                  df64: bool = False, has_prev: bool = False,
+                  interpret: bool = False):
     panel_refs = refs[:k_panels]
-    val_ref, meta_ref, out_ref = refs[k_panels: k_panels + 3]
+    n_out = 2 if df64 else 1
+    outs = refs[len(refs) - n_out:]
+    prevs = (refs[len(refs) - 2 * n_out: len(refs) - n_out]
+             if has_prev else (None,) * n_out)
+    val_ref, meta_ref = refs[k_panels], refs[k_panels + 1]
+    out_ref = outs[0]
     i = pl.program_id(0)
     if not df64:
         panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
@@ -239,11 +255,11 @@ def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
                 range(_B), jnp.zeros((_B, t), acc_dtype))
             blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
                                       interpret))
-        _write_out(i, cfirst, _tree_sum(blks), out_ref)
+        _write_out(i, cfirst, _tree_sum(blks), out_ref, prevs[0])
         return
     # double-f32 (see _df64_mac); both accumulators are routed through
     # the window one-hot separately and leave through two outputs
-    out_lo_ref = refs[-1]
+    out_lo_ref = outs[1]
     panels_h = [pr[0, 0] for pr in panel_refs]
     panels_l = [pr[0, 1] for pr in panel_refs]
     wh = wl = None
@@ -271,18 +287,22 @@ def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
             # compensated within-step accumulation across the batch
             wh, e = _two_sum(wh, bh)
             wl = wl + bl + e
-    _write_out_df64(i, cfirst, wh, wl, out_ref, out_lo_ref)
+    _write_out_df64(i, cfirst, wh, wl, out_ref, out_lo_ref,
+                    prevs[0], prevs[1])
 
 
 def _sparse_kernel(pb, cw, cfirst,
-                   *refs,      # panels, ltri, val, meta, out
+                   *refs,      # panels, ltri, val, meta[, prev], out
                    width: int, t: int, k_panels: int, c_batch: int,
-                   acc_dtype, interpret: bool = False):
+                   acc_dtype, has_prev: bool = False,
+                   interpret: bool = False):
     """Packed sparse-entry class: see module doc stage 2. Entry slots are
     row-sorted with slot 0 a reserved zero, so the 16 per-row sums are
     boundary differences of one inclusive prefix over slots."""
     panel_refs = refs[:k_panels]
-    ltri_ref, val_ref, meta_ref, out_ref = refs[k_panels:]
+    out_ref = refs[-1]
+    prev_ref = refs[-2] if has_prev else None
+    ltri_ref, val_ref, meta_ref = refs[k_panels: k_panels + 3]
     panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
     i = pl.program_id(0)
     W = width
@@ -330,18 +350,23 @@ def _sparse_kernel(pb, cw, cfirst,
         yc = g - gprev
         blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
                                   interpret))
-    _write_out(i, cfirst, _tree_sum(blks), out_ref)
+    _write_out(i, cfirst, _tree_sum(blks), out_ref, prev_ref)
 
 
 def _band_kernel(pb, cw, cfirst,
-                 *refs,          # panels, val, bloc, out[, out_lo]
+                 *refs,       # panels, val, bloc[, prev...], out[, lo]
                  c_cols: int, k_panels: int, acc_dtype, df64: bool,
-                 interpret: bool = False):
+                 has_prev: bool = False, interpret: bool = False):
     """Brick class: lane = tile-row, so there is no index decode and no
     output routing — C x 16 pure FMA steps against static panel rows
     picked by one radix lane-gather per brick column block."""
     panel_refs = refs[:k_panels]
-    val_ref, bloc_ref, out_ref = refs[k_panels: k_panels + 3]
+    n_out = 2 if df64 else 1
+    outs = refs[len(refs) - n_out:]
+    prevs = (refs[len(refs) - 2 * n_out: len(refs) - n_out]
+             if has_prev else (None,) * n_out)
+    val_ref, bloc_ref = refs[k_panels], refs[k_panels + 1]
+    out_ref = outs[0]
     i = pl.program_id(0)
     T = ROW_WINDOW
     bloc = bloc_ref[0, 0]                       # (T,) int32
@@ -374,11 +399,11 @@ def _band_kernel(pb, cw, cfirst,
             for j in range(_B):
                 acc = acc + (val_ref[0, cb, j].astype(acc_dtype)
                              * xq[j, :][None, :])
-        _write_out(i, cfirst, acc, out_ref)
+        _write_out(i, cfirst, acc, out_ref, prevs[0])
         return
     # double-f32: panels carry (hi, lo) planes, A carries (a1, a2, vl)
     # parts, the hi/lo sums leave through two outputs
-    out_lo_ref = refs[-1]
+    out_lo_ref = outs[1]
     panels_h = [pr[0, 0] for pr in panel_refs]
     panels_l = [pr[0, 1] for pr in panel_refs]
     sh = jnp.zeros((_B, T), jnp.float32)
@@ -395,7 +420,8 @@ def _band_kernel(pb, cw, cfirst,
                 val_ref[0, 3 * cb + 2, j],
                 b1[j, :][None, :], b2[j, :][None, :],
                 xh[j, :][None, :], xl[j, :][None, :])
-    _write_out_df64(i, cfirst, sh, sm, out_ref, out_lo_ref)
+    _write_out_df64(i, cfirst, sh, sm, out_ref, out_lo_ref,
+                    prevs[0], prevs[1])
 
 
 def _panel_spec(k: int, k_panels: int, df64: bool = False):
@@ -415,7 +441,8 @@ def _panel_spec(k: int, k_panels: int, df64: bool = False):
 
 
 def _grid_spec(nsteps, k_panels, tensor_specs, extra_vmem: int = 0,
-               df64: bool = False, n_out: int = 1):
+               df64: bool = False, n_out: int = 1,
+               with_prev: bool = False):
     ospec = pl.BlockSpec(
         (_B, ROW_WINDOW),
         lambda i, pb, cw, cfirst: (0, cw[i]),
@@ -426,9 +453,20 @@ def _grid_spec(nsteps, k_panels, tensor_specs, extra_vmem: int = 0,
         in_specs=([_panel_spec(k, k_panels, df64)
                    for k in range(k_panels)]
                   + [pl.BlockSpec(memory_space=pltpu.VMEM)] * extra_vmem
-                  + tensor_specs),
+                  + tensor_specs
+                  # previous class's y2dT (aliased into this call's
+                  # output, see spmv_pallas): same window block map
+                  + ([ospec] * n_out if with_prev else [])),
         out_specs=(ospec, ospec) if n_out == 2 else ospec,
     )
+
+
+def _alias_map(k_panels: int, extra_vmem: int, n_tensors: int,
+               n_out: int):
+    """input_output_aliases for the trailing prev inputs: indices count
+    the scalar-prefetch args too (empirically verified)."""
+    base = 3 + k_panels + extra_vmem + n_tensors
+    return {base + j: j for j in range(n_out)}
 
 
 def _chunk_spec(shape_tail, lead: int = 1):
@@ -442,12 +480,16 @@ def _chunk_spec(shape_tail, lead: int = 1):
 
 
 def dense_class_call(d: DenseChunks, x_panels: jax.Array, n_windows: int,
-                     interpret: bool = False):
+                     interpret: bool = False, prev=None):
     """Run the dense-tile class; returns y2dT (16, n_windows*ROW_WINDOW)
-    — a (hi, lo) f32 pair when the class is double-f32."""
+    — a (hi, lo) f32 pair when the class is double-f32. `prev` chains
+    another class's y2dT through input_output_aliasing (accumulated
+    in-kernel instead of by an XLA add)."""
+    n_out = 2 if d.df64 else 1
     kernel = functools.partial(_dense_kernel, t=d.t_lanes,
                                k_panels=d.k_panels, c_batch=d.c_batch,
                                acc_dtype=jnp.float32, df64=d.df64,
+                               has_prev=prev is not None,
                                interpret=interpret)
     vrows = 3 * _B if d.df64 else _B
     tensor_specs = [
@@ -457,52 +499,73 @@ def dense_class_call(d: DenseChunks, x_panels: jax.Array, n_windows: int,
     nsteps = d.cw.shape[0]
     oshape = jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                   jnp.float32)
+    prev_args = () if prev is None else (
+        tuple(prev) if n_out == 2 else (prev,))
     with _x32_trace():
         return pl.pallas_call(
             kernel,
             grid_spec=_grid_spec(nsteps, d.k_panels, tensor_specs,
-                                 df64=d.df64, n_out=2 if d.df64 else 1),
+                                 df64=d.df64, n_out=n_out,
+                                 with_prev=prev is not None),
             out_shape=(oshape, oshape) if d.df64 else oshape,
+            input_output_aliases=(
+                _alias_map(d.k_panels, 0, 2, n_out) if prev is not None
+                else {}),
             interpret=interpret,
-        )(d.pb, d.cw, d.cfirst, *([x_panels] * d.k_panels), d.val, d.meta)
+        )(d.pb, d.cw, d.cfirst, *([x_panels] * d.k_panels), d.val, d.meta,
+          *prev_args)
 
 
 def sparse_class_call(s: SparseChunks, x_panels: jax.Array,
                       n_windows: int,
-                      interpret: bool = False) -> jax.Array:
-    """Run one sparse-entry class; returns y2dT (16, n_windows*RW)."""
+                      interpret: bool = False, prev=None) -> jax.Array:
+    """Run one sparse-entry class; returns y2dT (16, n_windows*RW).
+    `prev` chains another class's y2dT through input_output_aliasing
+    (accumulated in-kernel instead of by an XLA add)."""
     acc_dtype = (jnp.float32 if x_panels.dtype != jnp.float64
                  else jnp.float64)
     mrows = sparse_meta_rows(s.width)
     kernel = functools.partial(_sparse_kernel, width=s.width, t=s.t_lanes,
                                k_panels=s.k_panels, c_batch=s.c_batch,
-                               acc_dtype=acc_dtype, interpret=interpret)
+                               acc_dtype=acc_dtype,
+                               has_prev=prev is not None,
+                               interpret=interpret)
     tensor_specs = [
         _chunk_spec((s.width, s.t_lanes), lead=s.c_batch),    # val
         _chunk_spec((mrows, s.t_lanes), lead=s.c_batch),      # meta
     ]
     ltri = jnp.asarray(np.tril(np.ones((s.width, s.width), np.float32)))
     nsteps = s.cw.shape[0]
+    prev_args = () if prev is None else (prev,)
     with _x32_trace():
         return pl.pallas_call(
             kernel,
             grid_spec=_grid_spec(nsteps, s.k_panels, tensor_specs,
-                                 extra_vmem=1),
+                                 extra_vmem=1,
+                                 with_prev=prev is not None),
             out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                            acc_dtype),
+            input_output_aliases=(
+                _alias_map(s.k_panels, 1, 2, 1) if prev is not None
+                else {}),
             interpret=interpret,
         )(s.pb, s.cw, s.cfirst, *([x_panels] * s.k_panels), ltri, s.val,
-          s.meta)
+          s.meta, *prev_args)
 
 
 def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
-                    interpret: bool = False):
+                    interpret: bool = False, prev=None):
     """Run the brick class; returns y2dT (16, n_windows*ROW_WINDOW) —
-    a (hi, lo) f32 pair when the class is double-f32."""
+    a (hi, lo) f32 pair when the class is double-f32. `prev` chains
+    another class's y2dT through input_output_aliasing (accumulated
+    in-kernel instead of by an XLA add)."""
     acc_dtype = jnp.float32
+    n_out = 2 if bd.df64 else 1
     kernel = functools.partial(_band_kernel, c_cols=bd.c_cols,
                                k_panels=bd.k_panels, df64=bd.df64,
-                               acc_dtype=acc_dtype, interpret=interpret)
+                               acc_dtype=acc_dtype,
+                               has_prev=prev is not None,
+                               interpret=interpret)
     nsteps = bd.cw.shape[0]
     vparts = 3 if bd.df64 else 1
     tensor_specs = [
@@ -513,15 +576,21 @@ def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
     oshape = jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                   jnp.float32)
     out_shape = (oshape, oshape) if bd.df64 else oshape
+    prev_args = () if prev is None else (
+        tuple(prev) if n_out == 2 else (prev,))
     with _x32_trace():
         return pl.pallas_call(
             kernel,
             grid_spec=_grid_spec(nsteps, bd.k_panels, tensor_specs,
-                                 df64=bd.df64, n_out=2 if bd.df64 else 1),
+                                 df64=bd.df64, n_out=n_out,
+                                 with_prev=prev is not None),
             out_shape=out_shape,
+            input_output_aliases=(
+                _alias_map(bd.k_panels, 0, 2, n_out) if prev is not None
+                else {}),
             interpret=interpret,
         )(bd.pb, bd.cw, bd.cfirst, *([x_panels] * bd.k_panels), bd.val,
-          bd.bloc)
+          bd.bloc, *prev_args)
 
 
 def _band_spmm_kernel(pb, cw, cfirst,
@@ -1210,24 +1279,27 @@ def spmv_pallas(plan: LanePlan, x: jax.Array,
     x_panels = x_to_panels(plan, x)
 
     df64 = x.dtype == jnp.float64
-    parts = []
+    # Classes CHAIN: each call takes the previous class's y2dT through
+    # input_output_aliasing and seeds its window outputs from it
+    # in-kernel, so a multi-class plan pays zero XLA adds between
+    # classes (verdict task 6: small-matrix glue floor).
+    acc = None
     if plan.dense is not None:
-        parts.append(dense_class_call(plan.dense, x_panels, plan.n_windows,
-                                      interpret=interpret))
+        acc = dense_class_call(plan.dense, x_panels, plan.n_windows,
+                               interpret=interpret, prev=acc)
     if plan.band is not None:
-        parts.append(band_class_call(plan.band, x_panels, plan.n_windows,
-                                     interpret=interpret))
+        acc = band_class_call(plan.band, x_panels, plan.n_windows,
+                              interpret=interpret, prev=acc)
     for s in plan.sparses:
-        parts.append(sparse_class_call(s, x_panels, plan.n_windows,
-                                       interpret=interpret))
-    if parts:
+        acc = sparse_class_call(s, x_panels, plan.n_windows,
+                                interpret=interpret, prev=acc)
+    if acc is not None:
         if df64:
-            # (hi, lo) pairs: promote to f64 at the XLA level
-            y2dt = functools.reduce(
-                jnp.add, [p[0].astype(jnp.float64)
-                          + p[1].astype(jnp.float64) for p in parts])
+            # (hi, lo) pair: promote to f64 at the XLA level
+            y2dt = (acc[0].astype(jnp.float64)
+                    + acc[1].astype(jnp.float64))
         else:
-            y2dt = functools.reduce(jnp.add, parts)
+            y2dt = acc
         y = y2dt.T.reshape(-1)  # (n_windows*RW*16,) global row order
     else:
         y = jnp.zeros(plan.y_padded_len, dtype=x.dtype)
