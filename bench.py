@@ -93,18 +93,21 @@ def main() -> int:
               f"{eff_gbps:.1f} GB/s effective "
               f"({res.gbytes_per_s:.1f} GB/s plan traffic)", file=sys.stderr)
 
-    # f64 context row (reference default precision, common.h:12-14):
-    # the banded flagship on the Pallas double-f32 band class
+    # f64 context rows (reference default precision, common.h:12-14):
+    # banded = the pure band/brick double-f32 class; mixed = dense-df64
+    # + df64 stream planes, i.e. every double-f32 engine family at once
     try:
         import jax
         import jax.numpy as jnp
         jax.config.update("jax_enable_x64", True)
-        csr = generate.get_matrix("banded_large")
-        op64 = TileSpMV(csr, compute_dtype=jnp.float64)
-        res64 = benchmark_op(op64, name="banded_large_f64", warmup=2,
-                             timed_reps=3, iters_per_rep=30)
-        print(f"# banded_large f64 ({op64.backend}): {res64.ms:.4f} ms "
-              f"({res64.ms / details[0].ms:.1f}x f32)", file=sys.stderr)
+        for f64_name, f32_ms in (("banded_large", details[0].ms),
+                                 ("mixed_large", details[2].ms)):
+            csr = generate.get_matrix(f64_name)
+            op64 = TileSpMV(csr, compute_dtype=jnp.float64)
+            res64 = benchmark_op(op64, name=f64_name + "_f64", warmup=2,
+                                 timed_reps=3, iters_per_rep=30)
+            print(f"# {f64_name} f64 ({op64.backend}): {res64.ms:.4f} ms "
+                  f"({res64.ms / f32_ms:.1f}x f32)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# f64 row skipped: {type(e).__name__}: {e}",
               file=sys.stderr)

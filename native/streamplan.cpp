@@ -20,6 +20,7 @@
 //   h = sp_build(...);  sp_scalars(h, out[6]);  sp_export(h, ...);
 //   sp_release(h)
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -106,23 +107,35 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
     {
         if (S <= 0) {
             // cost-minimizing slabs-per-step (keep in sync with
-            // stream_plan.pick_s_batch): every slab of an active step
-            // costs ~slab_ns[s] (padding included; small batches hide
-            // gather latency worse), active steps pay a fixed cost,
-            // empty windows one skippable step
-            const int cand[5] = {1, 2, 4, 8, 16};
-            const double slab_ns[5] = {190.0, 150.0, 125.0, 110.0, 101.0};
+            // stream_plan.pick_s_batch / slab_ns): every slab of an
+            // active step costs ~slab_ns(s) (padding included; small
+            // batches hide gather latency worse) — the measured
+            // power-of-2 anchors log2-interpolated so any s in 1..16
+            // can win (64 windows of ~11 slabs want s_batch 11, not 8
+            // or 16); active steps pay a fixed cost, empty windows one
+            // skippable step
+            const double anchor_ns[5] = {190.0, 150.0, 125.0, 110.0,
+                                         101.0};
             const double step_ns = 300.0, skip_ns = 60.0;
+            auto slab_ns = [&](int s) {
+                const double l = std::log2((double)s);
+                if (l <= 0.0) return anchor_ns[0];
+                if (l >= 4.0) return anchor_ns[4];
+                const int k = (int)l;
+                const double f = l - k;
+                return anchor_ns[k] * (1.0 - f) + anchor_ns[k + 1] * f;
+            };
             int64_t skipped = 0;
             for (int64_t w = 0; w < nwin; ++w)
                 if (slabs_per_win[w] == 0) ++skipped;
             double best_cost = -1.0;
-            for (int ci = 0; ci < 5; ++ci) {
-                const int s = cand[ci];
+            for (int s = 1; s <= 16; ++s) {
                 double cost = (double)skipped * skip_ns;
+                const double per_step = step_ns + s * slab_ns(s);
                 for (int64_t w = 0; w < nwin; ++w) {
+                    if (slabs_per_win[w] == 0) continue;
                     const int64_t active = (slabs_per_win[w] + s - 1) / s;
-                    cost += (double)active * (step_ns + s * slab_ns[ci]);
+                    cost += (double)active * per_step;
                 }
                 if (best_cost < 0 || cost < best_cost * 0.98) {
                     best_cost = cost;

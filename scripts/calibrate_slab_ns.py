@@ -30,7 +30,7 @@ from tilespmv_tpu.utils.profiling import _timed  # noqa: E402
 
 NAMES = sys.argv[1:] or ["powerlaw_large", "mixed_large", "mixed_medium",
                          "uniform_sparse"]
-S_CHOICES = (1, 2, 4, 8, 16)
+S_CHOICES = (1, 2, 4, 8, 11, 16)   # 11 validates the log2 interpolation
 
 rows = []  # (active, skipped, s, measured_us)
 for name in NAMES:

@@ -88,3 +88,67 @@ def test_full_spmv_nondyadic_inputs():
     want = csr.to_dense().astype(np.float64) @ x
     err = np.max(np.abs(y - want) / (1.0 + np.abs(want)))
     assert err < 1e-4
+
+
+def _skewed_csr(heavy_nnz=40000, light_nnz=8, n_windows=24, seed=7):
+    """Windows 0-1 scatter entries over every superspan (many slabs);
+    the rest confine ~8 entries to one superspan (1 slab) — the
+    window-load skew split_stream_chunks exists for."""
+    from tilespmv_tpu.io.mmio import CSRMatrix
+    rng = np.random.default_rng(seed)
+    m = n = n_windows * 1024
+    rows, cols = [], []
+    for w in range(n_windows):
+        k = heavy_nnz if w < 2 else light_nnz
+        rows.append(rng.integers(w * 1024, (w + 1) * 1024, k))
+        cols.append(rng.integers(0, n if w < 2 else 8192, k))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    key = np.unique(r.astype(np.int64) * n + c)
+    r, c = key // n, key % n
+    v = rng.standard_normal(r.size)
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(r, minlength=m))]).astype(np.int64)
+    return CSRMatrix((m, n), indptr, c.astype(np.int64), v)
+
+
+def test_stream_split_two_rate_classes():
+    # skewed window loads -> (base, heavy) pair with disjoint windows,
+    # heavy chained into base's output buffer via input_output_aliasing
+    csr = _skewed_csr()
+    tm = tile_create(csr)
+    plan = build_lane_plan(tm)
+    assert plan.stream is not None and plan.stream2 is not None
+    assert plan.stream.s_batch < plan.stream2.s_batch
+    base_w = set(np.asarray(plan.stream.cw).tolist())
+    heavy_w = set(np.asarray(plan.stream2.cw).tolist())
+    assert not (base_w & heavy_w)
+    nw2 = plan.n_stream_windows
+    assert base_w | heavy_w == set(range(nw2))
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    y = np.asarray(spmv_pallas(plan, jnp.asarray(x), interpret=True))
+    want = np.zeros(csr.m)
+    np.add.at(want, np.repeat(np.arange(csr.m), np.diff(csr.indptr)),
+              csr.data * x[csr.indices].astype(np.float64))
+    err = np.max(np.abs(y - want) / (1.0 + np.abs(want)))
+    assert err < 1e-4
+
+    # forcing one global s_batch must keep the class single
+    p1 = build_lane_plan(tm, stream_s_batch=8)
+    assert p1.stream2 is None
+
+
+def test_stream_split_df64_exact():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    csr = _skewed_csr(seed=11)
+    tm = tile_create(csr)
+    plan = build_lane_plan(tm, compute_dtype=jnp.float64)
+    assert plan.stream2 is not None and plan.stream.df64
+    x = np.linspace(-1, 1, csr.n)
+    y = np.asarray(spmv_pallas(plan, jnp.asarray(x), interpret=True))
+    want = np.zeros(csr.m)
+    np.add.at(want, np.repeat(np.arange(csr.m), np.diff(csr.indptr)),
+              csr.data * x[csr.indices])
+    err = np.max(np.abs(y - want) / (1.0 + np.abs(want)))
+    assert err < 1e-10

@@ -29,6 +29,7 @@ kernels, tilespmv_cuda.h:394-792):
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -880,6 +881,10 @@ def spmm_pallas(plan: LanePlan, xs: jax.Array,
                         .at[: plan.n].set(xs[:, r]))
             ys = stream_class_call(plan.stream, x_pad128.reshape(-1, 128),
                                    nw2, interpret=interpret)
+            if plan.stream2 is not None:
+                ys = stream_class_call(plan.stream2,
+                                       x_pad128.reshape(-1, 128), nw2,
+                                       interpret=interpret, prev=ys)
             ycols.append(ys.reshape(SUBS, nw2, LANES)
                          .transpose(1, 0, 2).reshape(-1))
         ys2 = jnp.stack(ycols, axis=1)
@@ -896,15 +901,23 @@ def spmm_pallas(plan: LanePlan, xs: jax.Array,
 def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
                    *refs,
                    s_batch: int, rounds: int, acc_dtype,
-                   df64: bool = False, interpret: bool = False):
+                   df64: bool = False, has_prev: bool = False,
+                   interpret: bool = False):
     """One step = `s_batch` (8,128) entry slabs: hardware-gather x per
     slab superspan, prefix-sum by one batched matmul, then 3-gather
     boundary-difference scatter rounds (see stream_plan.py module doc).
     Slab bodies are independent chains so Mosaic can interleave their
     gather latencies. Steps whose slabs are all empty (load-sorted
     padding) skip the whole body. The df64 variant carries (hi, lo) f32
-    pairs end to end (see _stream_step_df64)."""
+    pairs end to end (see _stream_step_df64). `has_prev`: the split
+    heavy class (stream_plan.split_stream_chunks) aliases the base
+    class's output and owns a DISJOINT window set, so the prev refs are
+    structural only — its windows are plain overwrites — and are
+    dropped here."""
     i = pl.program_id(0)
+    n_out = 2 if df64 else 1
+    if has_prev:
+        refs = refs[: -2 * n_out] + refs[-n_out:]
     out_refs = refs[-2:] if df64 else refs[-1:]
 
     @pl.when((sactive[i] == 0) & (cfirst[i] == 1))
@@ -1112,7 +1125,48 @@ def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
 
     Covers the reference's double default for its very-sparse extracted
     matrix (common.h:12-14 + the CSR5 double templates,
-    external/CSR5_cuda/anonymouslib_cuda.h:12)."""
+    external/CSR5_cuda/anonymouslib_cuda.h:12).
+
+    Under interpret=True the whole step runs in exact f64 instead:
+    XLA:CPU fusion rewrites the compensated chain when its
+    intermediates stay fusion-internal (observed round 3: ~1-ulp hi
+    drift on a single-slab step that vanishes the moment csh is made a
+    graph output), and interpret mode is the CPU oracle — the same
+    policy as the f32 kernel's exact-cumsum interpret branch."""
+    if interpret:
+        ys64 = jnp.zeros((SUBS, LANES), jnp.float64)
+        pe = planes_ref[0]
+        sb8 = s_batch * SUBS
+        for s in range(s_batch):
+            si = i * s_batch + s
+            vidx = vidx_ref[s].astype(jnp.int32)
+            lo = vidx & (LANES - 1)
+            hi3 = vidx >> 7
+            spanh = xh_ref[pl.ds(sbase[si], SPAN_ROWS), :]
+            spanl = xl_ref[pl.ds(sbase[si], SPAN_ROWS), :]
+            xh = xl = None
+            for c in range(SUBS):
+                th = jnp.take_along_axis(spanh[c * SUBS:(c + 1) * SUBS],
+                                         lo, axis=1)
+                tl = jnp.take_along_axis(spanl[c * SUBS:(c + 1) * SUBS],
+                                         lo, axis=1)
+                xh = th if xh is None else jnp.where(hi3 == c, th, xh)
+                xl = tl if xl is None else jnp.where(hi3 == c, tl, xl)
+            prod = ((val_ref[s].astype(jnp.float64)
+                     + vlo_ref[s].astype(jnp.float64))
+                    * (xh.astype(jnp.float64) + xl.astype(jnp.float64)))
+            csum = jnp.cumsum(prod, axis=1)
+            for t in range(rounds):
+                o = t * 3 * sb8 + s * SUBS
+                ue = jnp.take_along_axis(csum, pe[o: o + SUBS], axis=1)
+                us = jnp.take_along_axis(csum, pe[sb8 + o: sb8 + o + SUBS],
+                                         axis=1)
+                ys64 = ys64 + jnp.take_along_axis(
+                    ue - us, pe[2 * sb8 + o: 2 * sb8 + o + SUBS], axis=0)
+        yh = ys64.astype(jnp.float32)
+        yl = (ys64 - yh.astype(jnp.float64)).astype(jnp.float32)
+        _write_out_df64(i, cfirst, yh, yl, out_ref, out_lo_ref)
+        return
     chs, cls = [], []
     for s in range(s_batch):
         si = i * s_batch + s
@@ -1178,10 +1232,14 @@ def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
 
 
 def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False, prev=None) -> jax.Array:
     """Run the entry-level stream class; returns y (8, n_windows*128)
     where window w's row (q*128 + j) lives at [q, w*128 + j] — a
-    (hi, lo) f32 pair of such planes when the class is double-f32."""
+    (hi, lo) f32 pair of such planes when the class is double-f32.
+    `prev`: the base class's output when `sc` is the heavy half of a
+    split pair (stream_plan.split_stream_chunks) — aliased into this
+    call's output; window sets are disjoint, so unvisited blocks pass
+    prev through untouched."""
     S = sc.s_batch
     nsteps = sc.nsteps
     if STREAM_VARIANT["xg"] == "chunk" or sc.df64:
@@ -1204,6 +1262,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
         kernel = functools.partial(_stream_kernel, s_batch=S,
                                    rounds=sc.rounds,
                                    acc_dtype=jnp.float32, df64=True,
+                                   has_prev=prev is not None,
                                    interpret=interpret)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -1215,25 +1274,33 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                 _chunk_spec((SUBS, LANES), lead=S),      # val lo
                 _chunk_spec((SUBS, LANES), lead=S),      # vidx
                 _chunk_spec((sc.planes.shape[1], LANES), lead=1),
-            ],
+            ] + ([ospec, ospec] if prev is not None else []),
             out_specs=(ospec, ospec),
         )
         oshape = jax.ShapeDtypeStruct((SUBS, n_windows * LANES),
                                       jnp.float32)
-        with _x32_trace():
+        # the interpret branch of _stream_step_df64 computes in exact
+        # f64 (no Mosaic = no int64-index restriction), so trace it
+        # with x64 left on
+        ctx = (contextlib.nullcontext() if interpret else _x32_trace())
+        with ctx:
             return pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=(oshape, oshape),
+                input_output_aliases=({10: 0, 11: 1}
+                                      if prev is not None else {}),
                 interpret=interpret,
             )(sc.sbase, sc.cw, sc.cfirst, sc.sactive, xh, xl, sc.val,
-              sc.val_lo, sc.vidx, sc.planes)
+              sc.val_lo, sc.vidx, sc.planes,
+              *(tuple(prev) if prev is not None else ()))
     acc_dtype = (jnp.float32 if x2d128.dtype != jnp.float64
                  else jnp.float64)
     ltri = jnp.asarray(
         np.triu(np.ones((LANES, LANES), np.float32)).astype(acc_dtype))
     kernel = functools.partial(_stream_kernel, s_batch=S,
                                rounds=sc.rounds, acc_dtype=acc_dtype,
+                               has_prev=prev is not None,
                                interpret=interpret)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1244,7 +1311,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
             _chunk_spec((SUBS, LANES), lead=S),      # val
             _chunk_spec((SUBS, LANES), lead=S),      # vidx
             _chunk_spec((sc.planes.shape[1], LANES), lead=1),  # planes
-        ],
+        ] + ([ospec] if prev is not None else []),
         out_specs=ospec,
     )
     with _x32_trace():
@@ -1253,9 +1320,10 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((SUBS, n_windows * LANES),
                                            acc_dtype),
+            input_output_aliases={9: 0} if prev is not None else {},
             interpret=interpret,
         )(sc.sbase, sc.cw, sc.cfirst, sc.sactive, x2d128, ltri, sc.val,
-          sc.vidx, sc.planes)
+          sc.vidx, sc.planes, *((prev,) if prev is not None else ()))
 
 
 def x_to_panels(plan: LanePlan, x: jax.Array) -> jax.Array:
@@ -1310,6 +1378,12 @@ def spmv_pallas(plan: LanePlan, x: jax.Array,
         nw2 = plan.n_stream_windows
         ys = stream_class_call(plan.stream, x_pad128.reshape(-1, 128), nw2,
                                interpret=interpret)
+        if plan.stream2 is not None:
+            # split heavy class: disjoint windows, writes into ys's
+            # buffer through aliasing — no XLA merge needed
+            ys = stream_class_call(plan.stream2,
+                                   x_pad128.reshape(-1, 128), nw2,
+                                   interpret=interpret, prev=ys)
         if plan.stream.df64:
             # (hi, lo) plane pair -> f64 at the XLA level
             ys = ys[0].astype(jnp.float64) + ys[1].astype(jnp.float64)

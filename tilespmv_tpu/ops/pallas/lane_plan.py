@@ -185,6 +185,10 @@ class LanePlan:
     nnz: int = dataclasses.field(metadata=dict(static=True))
     n_windows: int = dataclasses.field(metadata=dict(static=True))
 
+    # heavy half of a split stream pair (stream_plan.split_stream_chunks):
+    # disjoint window set, chained into `stream`'s output buffer
+    stream2: Optional[StreamChunks] = None
+
     @property
     def n_panels(self) -> int:
         return max(1, -(-self.tilen // PANEL_TC))
@@ -223,10 +227,10 @@ class LanePlan:
             total += nbytes(self.band.val) + nbytes(self.band.bloc)
         for s in self.sparses:
             total += nbytes(s.val) + nbytes(s.meta)
-        if self.stream is not None:
-            st = self.stream
-            total += (nbytes(st.val) + nbytes(st.vidx)
-                      + nbytes(st.planes))
+        for st in (self.stream, self.stream2):
+            if st is not None:
+                total += (nbytes(st.val) + nbytes(st.vidx)
+                          + nbytes(st.planes))
         total += (nbytes(self.residual.val) + nbytes(self.residual.row)
                   + nbytes(self.residual.col))
         total += self.x_padded_len * 4 + self.m * 4
@@ -1018,6 +1022,7 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
 
     # --- stream engine for the COO tiles (decided above)
     stream = None
+    stream2 = None
     spill = (np.zeros(0, np.int64), np.zeros(0, np.int64),
              np.zeros(0, np.float64))
     if use_stream:
@@ -1031,6 +1036,13 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             stream, spill = build_stream_chunks(
                 g_row, g_col, bk.val, tm.m, compute_dtype=cdt,
                 s_batch=stream_s_batch)
+            if stream is not None and stream_s_batch is None:
+                # two-rate (base, heavy) split when the SLAB_NS cost
+                # model says it beats one global s_batch (the
+                # distributed layer forces a shared s_batch instead —
+                # its plans must agree across shards)
+                from .stream_plan import split_stream_chunks
+                stream, stream2 = split_stream_chunks(stream)
         else:
             from .stream_plan import empty_stream_chunks
             stream = empty_stream_chunks(max(1, -(-tm.m // RW_ROWS)), cdt,
@@ -1066,6 +1078,6 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
 
     sparses.sort(key=lambda s: s.width)
     return LanePlan(dense=dense, band=band, sparses=tuple(sparses),
-                    residual=residual, stream=stream,
+                    residual=residual, stream=stream, stream2=stream2,
                     m=tm.m, n=tm.n, tilem=tm.tilem, tilen=tm.tilen,
                     tile_size=b, nnz=tm.nnz, n_windows=n_windows)

@@ -113,16 +113,20 @@ def profile_engines(op, x=None) -> dict[str, dict]:
             "us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
             "chunks": int(s.val.shape[0]), "t_lanes": s.t_lanes}
     if plan.stream is not None:
-        st = plan.stream
         x128 = (jnp.zeros(plan.x_padded_len128, xj.dtype)
                 .at[: plan.n].set(xj).reshape(-1, 128))
-        fn_st = functools.partial(
-            stream_class_call, n_windows=plan.n_stream_windows,
-            interpret=interp)
-        dt = _timed(fn_st, st, x128)
-        b = nbytes(st.val, st.vidx, st.planes)
-        out["stream"] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
-                         "slabs": int(st.nslabs), "rounds": st.rounds}
+        for key, st in (("stream", plan.stream),
+                        ("stream2", plan.stream2)):
+            if st is None:
+                continue
+            fn_st = functools.partial(
+                stream_class_call, n_windows=plan.n_stream_windows,
+                interpret=interp)
+            dt = _timed(fn_st, st, x128)
+            b = nbytes(st.val, st.vidx, st.planes)
+            out[key] = {"us": dt * 1e6, "bytes": b, "gbps": b / dt / 1e9,
+                        "slabs": int(st.nslabs), "rounds": st.rounds,
+                        "s_batch": st.s_batch}
     if plan.residual.val.shape[0]:
         r = plan.residual
 
