@@ -152,3 +152,20 @@ def test_stream_split_df64_exact():
               csr.data * x[csr.indices])
     err = np.max(np.abs(y - want) / (1.0 + np.abs(want)))
     assert err < 1e-10
+
+
+def test_pick_s_batch_matches_window_population():
+    from tilespmv_tpu.ops.pallas.stream_plan import (pick_s_batch,
+                                                     pick_stream_split)
+    # 64 windows of 11 slabs: one step per window at s=11 beats the
+    # power-of-2 candidates (5 padding slabs at s=16, 3 steps at s=4)
+    wcnt = np.full(64, 11, np.int64)
+    assert pick_s_batch(wcnt) == 11
+    s1, s2, heavy = pick_stream_split(wcnt)
+    assert s2 is None and s1 == 11      # uniform loads: no split
+    # skewed: many 1-slab windows + a few 100-slab windows -> two rates
+    wcnt = np.concatenate([np.ones(60, np.int64),
+                           np.full(4, 100, np.int64)])
+    s1, s2, heavy = pick_stream_split(wcnt)
+    assert s2 is not None and s1 < s2
+    assert heavy.sum() == 4 and heavy[-4:].all()
