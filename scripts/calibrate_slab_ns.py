@@ -48,8 +48,11 @@ for name in NAMES:
         nw2 = plan.n_stream_windows
         active = int(np.asarray(st.sactive).sum())
         skipped = st.nsteps - active
+        # st passed as a jit ARGUMENT (pytree): closing over it embeds
+        # the plane arrays as constants and blows the remote-compile
+        # payload limit (HTTP 413) on large matrices
         us = _timed(
-            lambda x2: stream_class_call(st, x2, nw2), x128) * 1e6
+            lambda s_, x2: stream_class_call(s_, x2, nw2), st, x128) * 1e6
         per_slab = us * 1e3 / max(1, active * s)
         rows.append((active, skipped, s, us))
         print(f"{name:18s} s={s:2d}: {us:9.1f} us  "
