@@ -114,9 +114,11 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
             // can win (64 windows of ~11 slabs want s_batch 11, not 8
             // or 16); active steps pay a fixed cost, empty windows one
             // skippable step
-            const double anchor_ns[5] = {190.0, 150.0, 125.0, 110.0,
-                                         101.0};
-            const double step_ns = 300.0, skip_ns = 60.0;
+            // refit on v5e round 3 (scripts/calibrate_slab_ns.py) —
+            // keep in sync with stream_plan.SLAB_NS/STEP_NS/SKIP_NS
+            const double anchor_ns[5] = {146.6, 113.0, 90.6, 87.2,
+                                         77.8};
+            const double step_ns = 252.0, skip_ns = 60.0;
             auto slab_ns = [&](int s) {
                 const double l = std::log2((double)s);
                 if (l <= 0.0) return anchor_ns[0];

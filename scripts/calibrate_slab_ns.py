@@ -30,7 +30,8 @@ from tilespmv_tpu.utils.profiling import _timed  # noqa: E402
 
 NAMES = sys.argv[1:] or ["powerlaw_large", "mixed_large", "mixed_medium",
                          "uniform_sparse"]
-S_CHOICES = (1, 2, 4, 8, 11, 16)   # 11 validates the log2 interpolation
+S_CHOICES = (1, 2, 4, 8, 11, 16, 32)  # 11 validates interpolation;
+                                      # 32 probes past the S_MAX cap
 
 rows = []  # (active, skipped, s, measured_us)
 for name in NAMES:

@@ -107,32 +107,50 @@ def test_spmm_k1_and_k17_fall_back_to_vmap():
         assert np.max(np.abs(Y - want) / (1 + np.abs(want))) < 1e-4, k
 
 
-def test_df64_dense_unique_row_cutting():
-    """df64 dense chunks may hold at most one tile per window column;
-    a matrix with many tiles per tile-row exercises the splitter."""
-    if not jax.config.jax_enable_x64:
-        pytest.skip("x64 disabled")
-    rng = np.random.default_rng(9)
-    # 8 dense tiles on each of 20 tile-rows
+def _df64_tiles_case(n_tile_rows: int, tiles_per_row: int, seed: int):
+    rng = np.random.default_rng(seed)
     rows, cols = [], []
-    for tr in range(20):
-        for tc in rng.choice(64, 8, replace=False):
+    for tr in range(n_tile_rows):
+        for tc in rng.choice(64, tiles_per_row, replace=False):
             sl = np.arange(256)
             rows.append(tr * 16 + sl // 16)
             cols.append(int(tc) * 16 + sl % 16)
     rows = np.concatenate(rows)
     cols = np.concatenate(cols)
     vals = rng.standard_normal(rows.size)
-    csr = csr_from_coo(320, 1024, rows, cols, vals)
+    csr = csr_from_coo(n_tile_rows * 16, 1024, rows, cols, vals)
     op = TileSpMV(csr, compute_dtype=jnp.float64)
     assert op.backend == "pallas"
-    d = op.plan.dense
-    assert d is not None and d.df64
     x = rng.standard_normal(csr.n)
     y = np.asarray(op(x))
     ref = csr.to_dense().astype(np.float64) @ x
     mag = np.abs(csr.to_dense()) @ np.abs(x)
     assert np.max(np.abs(y - ref) / (1e-300 + mag)) < 1e-10
+    return op.plan
+
+
+def test_df64_dense_round_cutting():
+    """df64 dense chunks may hold at most one tile per window column.
+    A well-filled population (64 rows per round >= DF64_ROUND_FILL_MIN)
+    stays dense, cut into rounds with bounded lane padding."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled")
+    plan = _df64_tiles_case(64, 8, seed=9)
+    d = plan.dense
+    assert d is not None and d.df64
+    ntiles = 64 * 8
+    assert d.val.shape[0] * d.t_lanes <= 4 * ntiles
+
+
+def test_df64_deep_tiles_stream_explosion():
+    """Thin (window, round) groups would densify at huge lane padding
+    (one round per tile on heavy rows); they run as entries in the
+    exact df64 stream engine instead (lane_plan.DF64_ROUND_FILL_MIN)."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled")
+    plan = _df64_tiles_case(20, 8, seed=9)   # 20 tiles/round < FILL_MIN
+    assert plan.dense is None
+    assert plan.stream is not None and plan.stream.df64
 
 
 def test_band_rejected_for_scattered_matrices():

@@ -83,6 +83,11 @@ MIN_CLASS_TILES = 512  # merge thinner classes upward (per-call overhead)
 # COO tiles go to a sparse class instead of the stream engine when their
 # mean entry count crosses this (measured: stream wins near 1 nnz/tile)
 COO_SPARSE_MIN_AVG = 4.0
+# df64 densification keeps a (window, round) tile group only when it can
+# fill this many of the chunk's T lanes; deeper/thinner groups run as
+# entries in the exact df64 stream engine (heavy tile-rows otherwise
+# force one round per tile — 51x padding on mixed_large)
+DF64_ROUND_FILL_MIN = 48
 
 # dense-class meta rows (int32): x span location and window-local tile row
 META_XLOC = 0
@@ -628,33 +633,44 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
         sel = np.nonzero(win_of_tile == w)[0]
         nst = 0
         if sel.size:
-            order = np.argsort(tcol[sel], kind="stable")
+            if unique_rows:
+                # double-f32 classes: a window column must receive at
+                # most ONE tile per step (plain f32 adds inside the
+                # one-hot scatter would lose the compensated precision).
+                # Deal tiles into ROUNDS — the k-th tile (by column) of
+                # a tile-row goes to round k — so rows are unique within
+                # a round by construction; rounds are then cut into
+                # steps by the usual panel/cap limits. (The previous
+                # close-at-first-duplicate rule degenerated to ~3-tile
+                # steps on band+dense mixes: 40x lane padding and 20 GB
+                # of host arrays on mixed_large df64.)
+                tr_w = trow[sel]                   # sorted (trow, tcol)
+                new_r = np.ones(sel.size, bool)
+                new_r[1:] = tr_w[1:] != tr_w[:-1]
+                grp = np.maximum.accumulate(
+                    np.where(new_r, np.arange(sel.size), 0))
+                occ = np.arange(sel.size) - grp    # round of each tile
+                order = np.lexsort((tcol[sel], occ))
+            else:
+                order = np.argsort(tcol[sel], kind="stable")
             s = sel[order]
             pan = tcol[s] >> 8
             newp = np.ones(s.size, bool)
             newp[1:] = pan[1:] != pan[:-1]
             prank = np.cumsum(newp) - 1
             if unique_rows:
-                # double-f32 classes: a window column must receive at
-                # most ONE tile per step (plain f32 adds inside the
-                # one-hot scatter would lose the compensated precision),
-                # so close a step before a tile-row repeats
-                prev = {}
-                dup_after = np.full(s.size, s.size, np.int64)
-                for pos, rr in enumerate(trow[s]):
-                    if rr in prev:
-                        dup_after[prev[rr]] = min(dup_after[prev[rr]],
-                                                  pos)
-                    prev[rr] = pos
-                dup_lim = np.minimum.accumulate(dup_after[::-1])[::-1]
+                # consume the whole panel budget at a round boundary so
+                # the searchsorted below closes the step exactly there
+                occ_s = occ[order]
+                rb = np.zeros(s.size, np.int64)
+                rb[1:] = occ_s[1:] != occ_s[:-1]
+                prank = prank + np.cumsum(rb) * K
             start = 0
             while start < s.size:
                 # close at cap tiles or at the K-th new panel
                 stop = int(np.searchsorted(prank, prank[start] + K,
                                            side="left"))
                 stop = min(stop, start + cap, s.size)
-                if unique_rows:
-                    stop = min(stop, int(dup_lim[start]))
                 step_tiles = s[start:stop]
                 step_pan = pan[start:stop]
                 pans = np.unique(step_pan)
@@ -960,6 +976,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
     # --- execution routing: per tile, dense block vs sparse-entry class,
     # chosen by the execution cost model (see COST above; force_t pins
     # the fixed threshold so SPMD shards can never route divergently)
+    stream_extra = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.float64))
     if cdt == np.dtype(np.float64):
         # double-f32 W-class kernels would pay 4 sublane gathers per
         # (slot, operand half); densified tiles run the existing dense
@@ -967,6 +985,34 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         # still HBM-streaming (the f64 budget is ~5x f32, and these
         # matrices' tile counts are small compared to the COO/stream
         # population, which has its own df64 engine)
+        if counts.size:
+            # unique-rows (rounds) cutting pads each round to T lanes,
+            # so rounds with few tiles densify at huge padding (a heavy
+            # tile-row forces one round per tile: mixed_large measured
+            # 51x padding and 14 GB of host arrays). h_w[r] = #rows of
+            # window w with > r tiles is non-increasing in r, so
+            # dropping under-filled (window, round) groups keeps exactly
+            # the well-filled prefix rounds; deeper tiles run as entries
+            # in the exact df64 stream engine instead.
+            win = trow // ROW_WINDOW
+            new_r = np.ones(trow.size, bool)
+            new_r[1:] = trow[1:] != trow[:-1]
+            grp = np.maximum.accumulate(
+                np.where(new_r, np.arange(trow.size), 0))
+            occ = np.arange(trow.size) - grp
+            key = win * (int(occ.max()) + 1) + occ
+            _, inv, kcnt = np.unique(key, return_inverse=True,
+                                     return_counts=True)
+            deep = kcnt[inv] < DF64_ROUND_FILL_MIN
+            if deep.any():
+                eo = np.repeat(np.arange(trow.shape[0]), counts)
+                edeep = deep[eo]
+                stream_extra = (trow[eo][edeep] * b + er[edeep],
+                                tcol[eo][edeep] * b + ec[edeep],
+                                ev[edeep].astype(np.float64))
+                trow, tcol, counts = (trow[~deep], tcol[~deep],
+                                      counts[~deep])
+                er, ec, ev = er[~edeep], ec[~edeep], ev[~edeep]
         widx = np.full(counts.shape, len(W_CHOICES), np.int64)
     else:
         widx = _route_classes(trow, tcol, counts, tm.tilem,
@@ -981,12 +1027,32 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         blocks = _densify(trow[sel], tcol[sel], counts[sel],
                           er[esel], ec[esel], ev[esel], b)
         dtr, dtc = trow[sel], tcol[sel]
-        t_lanes = force_t or _pick_t(dtr, dtc, tm.tilem)
-        chunk_bytes = (16 * 16 * t_lanes + DENSE_MROWS * t_lanes) * 4
-        kp = 4 if force_t else _pick_k(dtr, dtc, t_lanes)
-        cb = 1 if force_t else _pick_cb(dtr, dtc, tm.tilem, t_lanes, kp,
-                                        chunk_bytes)
-        kp = 4 if force_t else _pick_k(dtr, dtc, cb * t_lanes)
+        if cdt == np.dtype(np.float64):
+            # unique-rows (rounds) cutting bounds the achievable step
+            # fill by tiles/rounds, where a window's round count is its
+            # max tiles-per-tile-row — use that, not the span estimate
+            uniq_tr, c_tr = np.unique(dtr, return_counts=True)
+            uw = uniq_tr // ROW_WINDOW
+            first = np.ones(uw.size, bool)
+            first[1:] = uw[1:] != uw[:-1]
+            rounds = np.maximum.reduceat(
+                c_tr, np.nonzero(first)[0]).sum()
+            per_step = dtr.size / max(1, int(rounds))
+            t_lanes = force_t or next(
+                (t for t in reversed(T_CHOICES) if per_step >= 0.75 * t),
+                T_CHOICES[0])
+            # c_batch beyond the achievable step size only emits inert
+            # trailing chunks (each a full (48,16,T) payload of zeros)
+            cb = 1 if force_t else max(
+                1, min(8, int(per_step / t_lanes + 0.5)))
+            kp = 4 if force_t else _pick_k(dtr, dtc, cb * t_lanes)
+        else:
+            t_lanes = force_t or _pick_t(dtr, dtc, tm.tilem)
+            chunk_bytes = (16 * 16 * t_lanes + DENSE_MROWS * t_lanes) * 4
+            kp = 4 if force_t else _pick_k(dtr, dtc, t_lanes)
+            cb = 1 if force_t else _pick_cb(dtr, dtc, tm.tilem, t_lanes,
+                                            kp, chunk_bytes)
+            kp = 4 if force_t else _pick_k(dtr, dtc, cb * t_lanes)
         md = _chunk_metadata(dtr, dtc, tm.tilem, t_lanes, kp, cb,
                              unique_rows=cdt == np.dtype(np.float64))
         valid = md["valid"]
@@ -1034,16 +1100,23 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
     stream2 = None
     spill = (np.zeros(0, np.int64), np.zeros(0, np.int64),
              np.zeros(0, np.float64))
-    if use_stream:
-        if bk.num_tiles:
+    if use_stream or stream_extra[2].size:
+        s_rows, s_cols, s_vals = [stream_extra[0]], [stream_extra[1]], \
+            [stream_extra[2]]
+        if use_stream and bk.num_tiles:
             ccounts = np.diff(bk.nnz_ptr)
             owner = np.repeat(np.arange(bk.num_tiles), ccounts)
-            g_row = (tm.tile_rowidx[bk.tile_ids[owner]].astype(np.int64) * b
-                     + bk.row)
-            g_col = (tm.tile_columnidx[bk.tile_ids[owner]].astype(np.int64)
-                     * b + bk.col)
+            s_rows.append(tm.tile_rowidx[bk.tile_ids[owner]]
+                          .astype(np.int64) * b + bk.row)
+            s_cols.append(tm.tile_columnidx[bk.tile_ids[owner]]
+                          .astype(np.int64) * b + bk.col)
+            s_vals.append(bk.val.astype(np.float64))
+        g_row = np.concatenate(s_rows)
+        g_col = np.concatenate(s_cols)
+        g_val = np.concatenate(s_vals)
+        if g_val.size:
             stream, spill = build_stream_chunks(
-                g_row, g_col, bk.val, tm.m, compute_dtype=cdt,
+                g_row, g_col, g_val, tm.m, compute_dtype=cdt,
                 s_batch=stream_s_batch)
             if stream is not None and stream_s_batch is None:
                 # two-rate (base, heavy) split when the SLAB_NS cost

@@ -160,8 +160,14 @@ def empty_stream_chunks(n_windows: int,
 # sequencing cost, and an all-empty (skipped) step only its zero-init
 # branch. Slabs are load-sorted per window, so padding beyond the last
 # active slab lands in the final active step or in skippable steps.
-SLAB_NS = {1: 190.0, 2: 150.0, 4: 125.0, 8: 110.0, 16: 101.0}
-STEP_NS = 300.0
+# refit on v5e (scripts/calibrate_slab_ns.py, round 3: joint least
+# squares over mixed_large/mixed_medium/uniform_sparse/powerlaw_large,
+# s in {1,2,4,8,11,16,32}; the s=11 row validates the interpolation and
+# the s=32 row measured WORSE per slab than 16 — 95.3 vs 94.1 ns plus
+# extra padding — so S_MAX stays 16). SKIP_NS was unconstrained by the
+# refit (no calibration matrix had skipped steps); keep the estimate.
+SLAB_NS = {1: 146.6, 2: 113.0, 4: 90.6, 8: 87.2, 16: 77.8}
+STEP_NS = 252.0
 SKIP_NS = 60.0
 S_MAX = 16
 # second stream dispatch + scheduling slack when the class is split into
