@@ -465,25 +465,24 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     planes[c_slab, t * 3 * SUBS + c_src, c_j] = c_end.astype(np.int8)
     planes[c_slab, t * 3 * SUBS + SUBS + c_src, c_j] = c_start.astype(
         np.int8)
-    planes[c_slab, t * 3 * SUBS + 2 * SUBS + c_tgt, c_j] = (
-        c_src.astype(np.int8))
-    # default rsrc: point every unrouted (t, q, j) at a source sublane
-    # with no contributor there (zero diff). Busy sources tracked as an
-    # 8-bit mask; first free via a 256-entry LUT.
+    # default rsrc: point every (t, q, j) at a source sublane with no
+    # contributor there (zero diff) — busy sources tracked as an 8-bit
+    # mask, first free via a 256-entry LUT — then overwrite the routed
+    # targets. (Filling defaults first replaces the former per-q
+    # nonzero+scatter over every unrouted position, the planning
+    # profile's hot spot.)
     busybits = np.zeros((nslabs, rounds, LANES), np.uint8)
     np.bitwise_or.at(busybits, (c_slab, t, c_j),
                      (1 << c_src).astype(np.uint8))
-    routed = np.zeros((nslabs, rounds, LANES), np.uint8)
-    np.bitwise_or.at(routed, (c_slab, t, c_j),
-                     (1 << c_tgt).astype(np.uint8))
     lut = np.zeros(256, np.int8)
     for mask in range(255):
         lut[mask] = next(s_ for s_ in range(SUBS) if not (mask >> s_) & 1)
     first_free = lut[busybits]                    # (nslabs, R, 128)
-    for q in range(SUBS):
-        un = (routed >> q) & 1 == 0               # (nslabs, R, 128)
-        sl, tt, jj = np.nonzero(un)
-        planes[sl, tt * 3 * SUBS + 2 * SUBS + q, jj] = first_free[un]
+    for tt in range(rounds):
+        base = tt * 3 * SUBS + 2 * SUBS
+        planes[:, base: base + SUBS, :] = first_free[:, tt, None, :]
+    planes[c_slab, t * 3 * SUBS + 2 * SUBS + c_tgt, c_j] = (
+        c_src.astype(np.int8))
 
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
