@@ -31,11 +31,11 @@ import sys
 FLAGSHIP = ["banded_large", "powerlaw_large", "mixed_large"]
 ROOFLINE_TARGET = 0.90
 IDEAL_BYTES_PER_NNZ = 5.0    # 4B f32 value + 1B intra-tile index
-# per-matrix regression floors (round-2 measurements + 25% headroom for
+# per-matrix regression floors (round-3 measurements + ~25% headroom for
 # the tunnel's run-to-run variance): a regression on one matrix must not
 # hide behind an aggregate improvement (round-1 verdict, weak item 3)
-FLOORS_MS = {"banded_large": 0.105, "powerlaw_large": 1.35,
-             "mixed_large": 0.24}
+FLOORS_MS = {"banded_large": 0.105, "powerlaw_large": 1.18,
+             "mixed_large": 0.19}
 
 
 def main() -> int:
