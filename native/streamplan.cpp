@@ -40,7 +40,9 @@ struct StreamPlan {
     int64_t nslabs = 0, nsteps = 0, nwin = 0;
     int32_t s_batch = 0, rounds = MAXR;
 
-    std::vector<float> val;       // nslabs*8*128
+    std::vector<float> val;       // nslabs*8*128 (f32 / df64 HI plane)
+    std::vector<float> val_lo;    // nslabs*8*128 df64 LO plane:
+                                  // lo = f32(v - f64(f32(v)))
     std::vector<int16_t> vidx;    // nslabs*8*128
     std::vector<int8_t> planes;   // nslabs*rounds*24*128 (built at MAXR)
     std::vector<int32_t> sbase;   // nslabs
@@ -157,6 +159,7 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
     P->nsteps = nslabs / S;
 
     P->val.assign(nslabs * SUBS * LANES, 0.0f);
+    P->val_lo.assign(nslabs * SUBS * LANES, 0.0f);
     P->vidx.assign(nslabs * SUBS * LANES, 0);
     P->planes.assign(nslabs * MAXR * 3 * SUBS * LANES, 0);
     P->sbase.assign(nslabs, 0);
@@ -213,7 +216,10 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
                         const int64_t lane = (e - s0) + 1;
                         const int64_t idx = (slab * SUBS + sub) * LANES
                                             + lane;
-                        P->val[idx] = (float)vals[ord[e]];
+                        const double vv = vals[ord[e]];
+                        const float hi = (float)vv;
+                        P->val[idx] = hi;
+                        P->val_lo[idx] = (float)(vv - (double)hi);
                         P->vidx[idx] = (int16_t)(g_col[ord[e]]
                                                  & (RW_ROWS - 1));
                     }
@@ -302,6 +308,11 @@ void sp_export(void* h, float* val, int16_t* vidx, int8_t* planes,
     std::memcpy(sbase, P->sbase.data(), P->sbase.size() * 4);
     std::memcpy(cw, P->cw.data(), P->cw.size() * 4);
     std::memcpy(cfirst, P->cfirst.data(), P->cfirst.size() * 4);
+}
+
+void sp_export_vlo(void* h, float* lo) {
+    auto* P = (StreamPlan*)h;
+    std::memcpy(lo, P->val_lo.data(), P->val_lo.size() * 4);
 }
 
 void sp_release(void* h) { delete (StreamPlan*)h; }

@@ -121,3 +121,29 @@ def test_native_adaptive_s_batch_matches_numpy_with_empty_windows():
     assert a.s_batch == b.s_batch
     assert a.nslabs == b.nslabs
     assert a.nsteps == b.nsteps
+
+
+def test_native_stream_plan_df64_matches_numpy():
+    """The native builder's (hi, lo) value-plane export is bit-identical
+    to the NumPy df64 reference split (same slabs, same pair planes)."""
+    from tilespmv_tpu.core import native
+    if native.get_lib() is None:
+        pytest.skip("no native library")
+    from tilespmv_tpu.ops.pallas.stream_plan import build_stream_chunks
+    rng = np.random.default_rng(23)
+    m = n = 4096
+    nnz = 20000
+    row = rng.integers(0, m, nnz).astype(np.int64)
+    col = rng.integers(0, n, nnz).astype(np.int64)
+    row[: nnz // 5] = rng.integers(0, 2, nnz // 5)   # hub rows
+    val = rng.standard_normal(nnz) * (1 + 1e-9 * rng.standard_normal(nnz))
+    a, _ = build_stream_chunks(row, col, val, m, compute_dtype=np.float64,
+                               use_native=True, s_batch=8)
+    b, _ = build_stream_chunks(row, col, val, m, compute_dtype=np.float64,
+                               use_native=False, s_batch=8)
+    assert a.df64 and b.df64 and a.nslabs == b.nslabs
+    np.testing.assert_array_equal(np.asarray(a.val), np.asarray(b.val))
+    np.testing.assert_array_equal(np.asarray(a.val_lo),
+                                  np.asarray(b.val_lo))
+    np.testing.assert_array_equal(np.asarray(a.planes),
+                                  np.asarray(b.planes))

@@ -227,6 +227,7 @@ def _init_stream_symbols(lib) -> bool:
         ]
         lib.sp_scalars.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.sp_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+        lib.sp_export_vlo.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.sp_release.argtypes = [ctypes.c_void_p]
         return True
     except AttributeError:
@@ -234,9 +235,12 @@ def _init_stream_symbols(lib) -> bool:
 
 
 def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
-                m: int, s_batch: Optional[int]) -> Optional[dict]:
+                m: int, s_batch: Optional[int],
+                want_lo: bool = False) -> Optional[dict]:
     """Run the native stream-plan builder (native/streamplan.cpp);
-    returns the raw plan arrays or None when unavailable."""
+    returns the raw plan arrays or None when unavailable. `want_lo`
+    additionally exports the double-f32 LO value plane (the builder
+    always computes it; f64 inputs lose nothing)."""
     lib = get_lib()
     if lib is None or not _init_stream_symbols(lib):
         return None
@@ -266,6 +270,9 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
             h, out["val"].ctypes.data, out["vidx"].ctypes.data,
             out["planes"].ctypes.data, out["sbase"].ctypes.data,
             out["cw"].ctypes.data, out["cfirst"].ctypes.data)
+        if want_lo:
+            out["val_lo"] = np.zeros((nslabs, 8, 128), np.float32)
+            lib.sp_export_vlo(h, out["val_lo"].ctypes.data)
         return out
     finally:
         lib.sp_release(h)

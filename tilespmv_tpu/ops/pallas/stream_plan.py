@@ -365,14 +365,16 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     if nz == 0:
         return None, empty_spill
 
-    if use_native and cdt == np.dtype(np.float32):
+    if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
-        raw = native.stream_plan(g_row, g_col, val, m, s_batch)
+        raw = native.stream_plan(g_row, g_col, val, m, s_batch,
+                                 want_lo=cdt == np.dtype(np.float64))
         if raw is not None:
             win_full = np.repeat(raw["cw"], raw["s_batch"])
             return _finish_stream(raw["val"], raw["vidx"], raw["planes"],
                                   raw["sbase"], win_full,
-                                  raw["s_batch"], raw["rounds"]), \
+                                  raw["s_batch"], raw["rounds"],
+                                  val_lo_arr=raw.get("val_lo")), \
                 empty_spill
 
     win = (g_row >> 10).astype(np.int64)
@@ -490,12 +492,13 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
 
 
 def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
-                   rounds) -> StreamChunks:
+                   rounds, val_lo_arr=None) -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
     cluster into trailing steps the kernel can skip), stack the round
     planes per step, and build the per-step control scalars. f64 values
     are split into an exact (hi, lo) f32 plane pair for the double-f32
-    stream kernel."""
+    stream kernel; the native builder exports the pair pre-split
+    (`val_lo_arr`)."""
     nslabs = val_arr.shape[0]
     load = np.count_nonzero(val_arr.reshape(nslabs, -1), axis=1)
     order = np.lexsort((-load, win_arr))
@@ -504,6 +507,8 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
     planes = stack_step_planes(planes[order], s_batch, rounds)
     sbase = sbase[order]
     load = load[order]
+    if val_lo_arr is not None:
+        val_lo_arr = val_lo_arr[order]
 
     win_step = win_arr[::s_batch]
     cw = win_step.astype(np.int32)
@@ -511,9 +516,11 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
     cfirst[1:] = (win_step[1:] != win_step[:-1]).astype(np.int32)
     sactive = (load.reshape(-1, s_batch).sum(axis=1) > 0).astype(np.int32)
 
-    df64 = val_arr.dtype == np.float64
+    df64 = val_arr.dtype == np.float64 or val_lo_arr is not None
     val_lo = None
-    if df64:
+    if val_lo_arr is not None:
+        val_lo = jnp.asarray(val_lo_arr)
+    elif df64:
         hi = val_arr.astype(np.float32)
         val_lo = jnp.asarray((val_arr - hi).astype(np.float32))
         val_arr = hi
