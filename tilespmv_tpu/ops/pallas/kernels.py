@@ -964,6 +964,18 @@ def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
     contribs = []
     for s in range(s_batch):
         si = i * s_batch + s
+        if xg == "noread":
+            # ABLATION ONLY (wrong results): skip the span read and all
+            # x staging to isolate their cost share
+            contribs.append(val_ref[s].astype(acc_dtype))
+            continue
+        if xg == "readonly":
+            # ABLATION ONLY (wrong results): span read kept, gather/
+            # select staging skipped — separates the two costs
+            span = x2d_ref[pl.ds(sbase[si], SPAN_ROWS), :]
+            contribs.append(val_ref[s].astype(acc_dtype)
+                            * span[:SUBS].astype(acc_dtype))
+            continue
         vidx = vidx_ref[s].astype(jnp.int32)   # stored int16
         if xg == "chunk":
             # x2d_ref rows are PERMUTED within each span: row
