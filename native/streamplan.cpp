@@ -62,11 +62,19 @@ struct Run {
 extern "C" {
 
 void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
-               const double* vals, int64_t m, int32_t s_batch_req) {
+               const double* vals, int64_t m, int32_t s_batch_req,
+               int32_t span_rows) {
     auto* P = new StreamPlan();
     const int64_t nwin = std::max<int64_t>(1, (m + RW_ROWS - 1) / RW_ROWS);
     P->nwin = nwin;
     if (nz == 0) { delete P; return nullptr; }
+    // superspan geometry (keep in sync with stream_plan.py): span =
+    // col >> sh covers span_rows x2d128 rows; sublane = the 3 col bits
+    // below the span; vidx = col within the 16*span_rows-col sub-window
+    const int64_t R_ = span_rows > 0 ? span_rows : SPAN_ROWS;
+    int64_t sh = 7;
+    while ((int64_t(1) << (sh - 7)) < R_) ++sh;
+    const int64_t vmask = 16 * R_ - 1;
 
     // --- 1. order by (window, superspan, sublane, row) ---
     std::vector<int64_t> ord(nz);
@@ -74,9 +82,10 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
     std::sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
         const int64_t wa = g_row[a] >> 10, wb = g_row[b] >> 10;
         if (wa != wb) return wa < wb;
-        const int64_t pa = g_col[a] >> 13, pb = g_col[b] >> 13;
+        const int64_t pa = g_col[a] >> sh, pb = g_col[b] >> sh;
         if (pa != pb) return pa < pb;
-        const int64_t sa = (g_col[a] >> 10) & 7, sb = (g_col[b] >> 10) & 7;
+        const int64_t sa = (g_col[a] >> (sh - 3)) & 7,
+                      sb = (g_col[b] >> (sh - 3)) & 7;
         if (sa != sb) return sa < sb;
         if (g_row[a] != g_row[b]) return g_row[a] < g_row[b];
         return a < b;
@@ -88,13 +97,13 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
         int64_t i = 0;
         while (i < nz) {
             const int64_t w = g_row[ord[i]] >> 10;
-            const int64_t p = g_col[ord[i]] >> 13;
+            const int64_t p = g_col[ord[i]] >> sh;
             int64_t maxk = 1, run = 0;
             int64_t cur_sub = -1;
             int64_t j = i;
             while (j < nz && (g_row[ord[j]] >> 10) == w
-                   && (g_col[ord[j]] >> 13) == p) {
-                const int64_t sb = (g_col[ord[j]] >> 10) & 7;
+                   && (g_col[ord[j]] >> sh) == p) {
+                const int64_t sb = (g_col[ord[j]] >> (sh - 3)) & 7;
                 if (sb != cur_sub) { cur_sub = sb; run = 0; }
                 maxk = std::max(maxk, run / CAP + 1);
                 ++run;
@@ -188,23 +197,23 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
     int64_t i = 0;
     while (i < nz) {
         const int64_t w = g_row[ord[i]] >> 10;
-        const int64_t p = g_col[ord[i]] >> 13;
+        const int64_t p = g_col[ord[i]] >> sh;
         int64_t j = i;
         while (j < nz && (g_row[ord[j]] >> 10) == w
-               && (g_col[ord[j]] >> 13) == p) ++j;
+               && (g_col[ord[j]] >> sh) == p) ++j;
         const int64_t gslab0 = slab_start[w] + next_slab[w];
         int64_t maxk = 1;
         // per sublane: split at CAP, fill values + runs
         int64_t a = i;
         while (a < j) {
-            const int64_t sub = (g_col[ord[a]] >> 10) & 7;
+            const int64_t sub = (g_col[ord[a]] >> (sh - 3)) & 7;
             int64_t b = a;
-            while (b < j && ((g_col[ord[b]] >> 10) & 7) == sub) ++b;
+            while (b < j && ((g_col[ord[b]] >> (sh - 3)) & 7) == sub) ++b;
             for (int64_t s0 = a; s0 < b; s0 += CAP) {
                 const int64_t e0 = std::min(b, s0 + CAP);
                 const int64_t slab = gslab0 + (s0 - a) / CAP;
                 maxk = std::max(maxk, (s0 - a) / CAP + 1);
-                P->sbase[slab] = (int32_t)(p * SPAN_ROWS);
+                P->sbase[slab] = (int32_t)(p * R_);
                 int64_t k = s0;
                 while (k < e0) {
                     const int64_t row = g_row[ord[k]];
@@ -221,7 +230,7 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
                         P->val[idx] = hi;
                         P->val_lo[idx] = (float)(vv - (double)hi);
                         P->vidx[idx] = (int16_t)(g_col[ord[e]]
-                                                 & (RW_ROWS - 1));
+                                                 & vmask);
                     }
                     const int64_t rloc = row - w * RW_ROWS;
                     const int64_t tgt = rloc >> 7;
@@ -241,7 +250,7 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
         // sublane but existing via other sublanes (already set above for
         // written slabs; remaining covered since maxk tracks the max)
         for (int64_t kk2 = 0; kk2 < maxk; ++kk2)
-            P->sbase[gslab0 + kk2] = (int32_t)(p * SPAN_ROWS);
+            P->sbase[gslab0 + kk2] = (int32_t)(p * R_);
         next_slab[w] += maxk;
         i = j;
     }

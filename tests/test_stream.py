@@ -169,3 +169,32 @@ def test_pick_s_batch_matches_window_population():
     s1, s2, heavy = pick_stream_split(wcnt)
     assert s2 is not None and s1 < s2
     assert heavy.sum() == 4 and heavy[-4:].all()
+
+
+def test_adaptive_span_rows_very_sparse():
+    """Very sparse large matrices widen the stream superspan (fewer,
+    fuller slabs: 16% -> 63% fill at 524k^2; BASELINE.md round 3). The
+    picker must widen here and the wide-span kernel must stay exact."""
+    from tilespmv_tpu.io.mmio import CSRMatrix
+    from tilespmv_tpu.ops.pallas.stream_plan import pick_span_rows
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    rng = np.random.default_rng(41)
+    m = n = 32768
+    nnz = 30000
+    key = np.unique(rng.integers(0, m, nnz).astype(np.int64) * n
+                    + rng.integers(0, n, nnz).astype(np.int64))
+    row, col = key // n, key % n
+    val = rng.standard_normal(row.size)
+    assert pick_span_rows(row, col, m) > 64
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(row, minlength=m))]).astype(np.int64)
+    csr = CSRMatrix((m, n), indptr, col.astype(np.int64), val)
+    op = TileSpMV(csr, backend="pallas")
+    assert op.plan.stream is not None and op.plan.stream.span_rows > 64
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(op(x))
+    ref = np.zeros(m)
+    np.add.at(ref, row, val * x[col].astype(np.float64))
+    # the reference harness gate (1% relative with an absolute floor:
+    # near-zero rows see the engine's absolute prefix-difference error)
+    assert not (np.abs(y - ref) > 0.01 * np.abs(ref) + 1e-4).any()

@@ -224,6 +224,7 @@ def _init_stream_symbols(lib) -> bool:
         lib.sp_build.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32,
         ]
         lib.sp_scalars.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.sp_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
@@ -236,7 +237,8 @@ def _init_stream_symbols(lib) -> bool:
 
 def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
                 m: int, s_batch: Optional[int],
-                want_lo: bool = False) -> Optional[dict]:
+                want_lo: bool = False,
+                span_rows: int = 64) -> Optional[dict]:
     """Run the native stream-plan builder (native/streamplan.cpp);
     returns the raw plan arrays or None when unavailable. `want_lo`
     additionally exports the double-f32 LO value plane (the builder
@@ -249,7 +251,8 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
     val64 = np.ascontiguousarray(val, dtype=np.float64)
     nz = g_row.shape[0]
     h = lib.sp_build(nz, g_row.ctypes.data, g_col.ctypes.data,
-                     val64.ctypes.data, m, int(s_batch or 0))
+                     val64.ctypes.data, m, int(s_batch or 0),
+                     int(span_rows))
     if not h:
         return None
     try:

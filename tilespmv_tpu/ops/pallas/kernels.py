@@ -902,7 +902,7 @@ def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
                    *refs,
                    s_batch: int, rounds: int, acc_dtype,
                    df64: bool = False, has_prev: bool = False,
-                   interpret: bool = False):
+                   interpret: bool = False, span_rows: int = SPAN_ROWS):
     """One step = `s_batch` (8,128) entry slabs: hardware-gather x per
     slab superspan, prefix-sum by one batched matmul, then 3-gather
     boundary-difference scatter rounds (see stream_plan.py module doc).
@@ -929,11 +929,12 @@ def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
     def _():
         if df64:
             _stream_step_df64(sbase, cfirst, *refs, i=i, s_batch=s_batch,
-                              rounds=rounds, interpret=interpret)
+                              rounds=rounds, interpret=interpret,
+                              span_rows=span_rows)
         else:
             _stream_step(sbase, cfirst, *refs, i=i, s_batch=s_batch,
                          rounds=rounds, acc_dtype=acc_dtype,
-                         interpret=interpret)
+                         interpret=interpret, span_rows=span_rows)
 
 
 # In-situ ablation switches (scripts/ablate_stream.py flips these before
@@ -958,8 +959,10 @@ STREAM_VARIANT = {"xg": "chunk", "wide_scatter": False}
 
 def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
                  planes_ref, out_ref, *, i, s_batch, rounds, acc_dtype,
-                 interpret):
+                 interpret, span_rows=SPAN_ROWS):
     xg = STREAM_VARIANT["xg"]
+    if span_rows != SPAN_ROWS and xg in ("narrow", "wide"):
+        xg = "chunk"   # the legacy arms hard-code the 64-row span
     wide_scatter = STREAM_VARIANT["wide_scatter"]
     contribs = []
     for s in range(s_batch):
@@ -979,15 +982,15 @@ def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
         vidx = vidx_ref[s].astype(jnp.int32)   # stored int16
         if xg == "chunk":
             # x2d_ref rows are PERMUTED within each span: row
-            # s*64 + c*8 + w holds window w's c-th 128-value chunk, so
+            # s*R + c*8 + w holds window w's c-th 128-value chunk, so
             # chunk c of ALL 8 windows is one static (8,128) slice (row
             # order = window). Per chunk: one narrow lane gather +
             # select — no sublane gathers, no broadcasts, no concat.
-            span = x2d_ref[pl.ds(sbase[si], SPAN_ROWS), :]   # (64, 128)
+            span = x2d_ref[pl.ds(sbase[si], span_rows), :]   # (R, 128)
             lo = vidx & (LANES - 1)
             hi3 = vidx >> 7
             xv = None
-            for c in range(SUBS):
+            for c in range(span_rows // 8):
                 tk = jnp.take_along_axis(
                     span[c * SUBS:(c + 1) * SUBS], lo, axis=1)
                 xv = tk if xv is None else jnp.where(hi3 == c, tk, xv)
@@ -1121,7 +1124,7 @@ def _shift_lanes(a, k):
 
 def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
                       vidx_ref, planes_ref, out_ref, out_lo_ref, *, i,
-                      s_batch, rounds, interpret):
+                      s_batch, rounds, interpret, span_rows=SPAN_ROWS):
     """Double-f32 stream step: the PLAN (slabs, round planes) is
     identical to f32; only the arithmetic changes —
 
@@ -1154,10 +1157,10 @@ def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
             vidx = vidx_ref[s].astype(jnp.int32)
             lo = vidx & (LANES - 1)
             hi3 = vidx >> 7
-            spanh = xh_ref[pl.ds(sbase[si], SPAN_ROWS), :]
-            spanl = xl_ref[pl.ds(sbase[si], SPAN_ROWS), :]
+            spanh = xh_ref[pl.ds(sbase[si], span_rows), :]
+            spanl = xl_ref[pl.ds(sbase[si], span_rows), :]
             xh = xl = None
-            for c in range(SUBS):
+            for c in range(span_rows // 8):
                 th = jnp.take_along_axis(spanh[c * SUBS:(c + 1) * SUBS],
                                          lo, axis=1)
                 tl = jnp.take_along_axis(spanl[c * SUBS:(c + 1) * SUBS],
@@ -1187,10 +1190,10 @@ def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
         hi3 = vidx >> 7
         # chunk-staged x (see the "chunk" arm in _stream_step): rows of
         # the span are permuted to (chunk, window) order
-        spanh = xh_ref[pl.ds(sbase[si], SPAN_ROWS), :]
-        spanl = xl_ref[pl.ds(sbase[si], SPAN_ROWS), :]
+        spanh = xh_ref[pl.ds(sbase[si], span_rows), :]
+        spanl = xl_ref[pl.ds(sbase[si], span_rows), :]
         xh = xl = None
-        for c in range(SUBS):
+        for c in range(span_rows // 8):
             th = jnp.take_along_axis(spanh[c * SUBS:(c + 1) * SUBS], lo,
                                      axis=1)
             tl = jnp.take_along_axis(spanl[c * SUBS:(c + 1) * SUBS], lo,
@@ -1254,15 +1257,15 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
     prev through untouched."""
     S = sc.s_batch
     nsteps = sc.nsteps
-    if STREAM_VARIANT["xg"] == "chunk" or sc.df64:
-        # permute rows within each 64-row span from (window, chunk) to
+    R = sc.span_rows
+    if STREAM_VARIANT["xg"] == "chunk" or sc.df64 or R != SPAN_ROWS:
+        # permute rows within each R-row span from (window, chunk) to
         # (chunk, window) order — one small XLA transpose per call; the
         # kernel then reads every chunk as a static (8,128) slice
-        if x2d128.shape[0] % SPAN_ROWS:
+        if x2d128.shape[0] % R:
             x2d128 = jnp.pad(
-                x2d128,
-                [(0, SPAN_ROWS - x2d128.shape[0] % SPAN_ROWS), (0, 0)])
-        x2d128 = (x2d128.reshape(-1, SUBS, SUBS, LANES)
+                x2d128, [(0, R - x2d128.shape[0] % R), (0, 0)])
+        x2d128 = (x2d128.reshape(-1, SUBS, R // 8, LANES)
                   .transpose(0, 2, 1, 3).reshape(-1, LANES))
     ospec = pl.BlockSpec(
         (SUBS, LANES),
@@ -1275,7 +1278,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                                    rounds=sc.rounds,
                                    acc_dtype=jnp.float32, df64=True,
                                    has_prev=prev is not None,
-                                   interpret=interpret)
+                                   interpret=interpret, span_rows=R)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(nsteps,),
@@ -1313,7 +1316,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
     kernel = functools.partial(_stream_kernel, s_batch=S,
                                rounds=sc.rounds, acc_dtype=acc_dtype,
                                has_prev=prev is not None,
-                               interpret=interpret)
+                               interpret=interpret, span_rows=R)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nsteps,),

@@ -912,7 +912,8 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
 def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                     force_t: int | None = None,
                     use_stream: bool | None = None,
-                    stream_s_batch: int | None = None) -> LanePlan:
+                    stream_s_batch: int | None = None,
+                    stream_span_rows: int | None = None) -> LanePlan:
     """Compile a TileMatrix into the lane-major Pallas plan.
 
     `force_t` pins the dense-class chunk lane width and c_batch=1 for
@@ -1117,7 +1118,7 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         if g_val.size:
             stream, spill = build_stream_chunks(
                 g_row, g_col, g_val, tm.m, compute_dtype=cdt,
-                s_batch=stream_s_batch)
+                s_batch=stream_s_batch, span_rows=stream_span_rows)
             if stream is not None and stream_s_batch is None:
                 # two-rate (base, heavy) split when the SLAB_NS cost
                 # model says it beats one global s_batch (the

@@ -56,8 +56,15 @@ SUBS = 8
 CAP = LANES - 1    # usable entry lanes per sublane (lane 0 reserved)
 ROUNDS = 8         # modular (src+tgt)%8 coloring: always exactly 8
 XBLOCK_ROWS = 8    # x2d128 rows per sublane's x window (1024 values)
-SPAN_ROWS = 64     # x2d128 rows per slab superspan (8 aligned windows)
-MAX_SPAN_ROWS = 64  # x staging slack (one superspan read past the end)
+SPAN_ROWS = 64     # default x2d128 rows per slab superspan (8 windows)
+# a class may widen its superspan when (window, span) groups would
+# otherwise be mostly empty — very sparse LARGE matrices (e.g. 2.2e-5
+# density at 524k^2 ran at 18% slab fill with 64-row spans). Wider
+# spans cost more x-staging chunks per slab (the span read itself
+# measures free — BASELINE.md round 3), so the builder picks the
+# cost-minimizing size per class (pick_span_rows).
+SPAN_CHOICES = (64, 128, 256)
+MAX_SPAN_ROWS = SPAN_CHOICES[-1]  # x padding slack past the end
 
 # int8 plane rows per slab in the RAW (builder) layout: R rounds x
 # [rend | rstart | rsrc] x 8 sublanes (rows t*24 + {0,8,16} + s); R is a
@@ -117,6 +124,8 @@ class StreamChunks:
                                      metadata=dict(static=True))
     df64: bool = dataclasses.field(default=False,
                                    metadata=dict(static=True))
+    span_rows: int = dataclasses.field(default=SPAN_ROWS,
+                                       metadata=dict(static=True))
 
     @property
     def nslabs(self) -> int:
@@ -238,6 +247,39 @@ def pick_stream_split(wcnt: np.ndarray):
     return best[1], best[2], best[3]
 
 
+# measured v5e per-slab decomposition (BASELINE.md round 3): the rounds
+# machinery + fixed work is ~83 ns/slab, x staging ~2.3 ns per
+# (span_rows/8) chunk (8 chunks = 18.5 ns at the default span)
+SLAB_FLOOR_NS = 83.0
+STAGE_CHUNK_NS = 2.3
+
+
+def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
+    """Cost-minimizing superspan width for this entry population.
+
+    Wider spans merge (window, span) groups — fewer, fuller slabs — at
+    ~2.3 ns/slab extra staging per additional x chunk. Slab counts per
+    candidate are exact (bincount over (window, span, sublane) keys;
+    a group's slab count is the max over its 8 sublanes of
+    ceil(count/127)). A wider span must win by >5% to displace the
+    default (the flagship corpus sits near 70% fill where 64 wins)."""
+    win = (g_row >> 10).astype(np.int64)
+    nwin = max(1, -(-m // RW_ROWS))
+    best, best_cost = SPAN_CHOICES[0], None
+    for r in SPAN_CHOICES:
+        sh = 7 + int(r).bit_length() - 1          # log2(r * 128)
+        nspans = (int(g_col.max()) >> sh) + 1
+        key = ((win * nspans + (g_col >> sh)) * 8
+               + ((g_col >> (sh - 3)) & 7))
+        cnt = np.bincount(key.astype(np.int64),
+                          minlength=nwin * nspans * 8)
+        slabs = int(-(-cnt.reshape(-1, 8).max(axis=1) // CAP).sum())
+        cost = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * (r // 8))
+        if best_cost is None or cost < best_cost * 0.95:
+            best, best_cost = r, cost
+    return best
+
+
 def unstack_step_planes(planes: np.ndarray, s_batch: int,
                         rounds: int) -> np.ndarray:
     """Inverse of stack_step_planes: per-step stacked
@@ -327,7 +369,8 @@ def split_stream_chunks(st: StreamChunks):
             sbase=jnp.asarray(sb), cw=jnp.asarray(cwc),
             cfirst=jnp.asarray(cf), sactive=jnp.asarray(sact),
             val_lo=jnp.asarray(vl) if vl is not None else None,
-            s_batch=s, rounds_=R, df64=st.df64)
+            s_batch=s, rounds_=R, df64=st.df64,
+            span_rows=st.span_rows)
 
     return build(~heavy, s1), (build(heavy, s2) if s2 is not None
                                else None)
@@ -350,7 +393,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                         val: np.ndarray, m: int,
                         compute_dtype=jnp.float32,
                         s_batch: Optional[int] = None,
-                        use_native: bool = True):
+                        use_native: bool = True,
+                        span_rows: Optional[int] = None):
     """Compile a global COO entry list into stream slabs.
 
     Returns (StreamChunks | None, spill); spill is always empty in this
@@ -364,34 +408,40 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                    np.zeros(0, np.float64))
     if nz == 0:
         return None, empty_spill
+    if span_rows is None:
+        span_rows = pick_span_rows(g_row, g_col, m)
+    sh = 7 + int(span_rows).bit_length() - 1     # log2(span_rows * 128)
+    vmask = 16 * span_rows - 1                   # sub-window col mask
 
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
         raw = native.stream_plan(g_row, g_col, val, m, s_batch,
-                                 want_lo=cdt == np.dtype(np.float64))
+                                 want_lo=cdt == np.dtype(np.float64),
+                                 span_rows=span_rows)
         if raw is not None:
             win_full = np.repeat(raw["cw"], raw["s_batch"])
             return _finish_stream(raw["val"], raw["vidx"], raw["planes"],
                                   raw["sbase"], win_full,
                                   raw["s_batch"], raw["rounds"],
-                                  val_lo_arr=raw.get("val_lo")), \
+                                  val_lo_arr=raw.get("val_lo"),
+                                  span_rows=span_rows), \
                 empty_spill
 
     win = (g_row >> 10).astype(np.int64)
-    span = (g_col >> 13).astype(np.int64)    # aligned 8192-value superspan
+    span = (g_col >> sh).astype(np.int64)    # aligned superspan
 
-    # --- per (window, superspan) group: sublane = (col>>10)&7, entries
-    # row-sorted within sublane, split at CAP; the group's slab count is
-    # the max over its 8 sublanes ---
+    # --- per (window, superspan) group: sublane = 3 col bits below the
+    # span, entries row-sorted within sublane, split at CAP; the group's
+    # slab count is the max over its 8 sublanes ---
     order = np.argsort((win << 44) | (span << 24)
-                       | ((g_col >> 10) & 7) << 20
+                       | ((g_col >> (sh - 3)) & 7) << 20
                        | (g_row & (RW_ROWS - 1)), kind="stable")
     r = g_row[order]
     c = g_col[order]
     v = val[order]
     win = win[order]
     span = span[order]
-    sub_of = ((c >> 10) & 7).astype(np.int64)
+    sub_of = ((c >> (sh - 3)) & 7).astype(np.int64)
 
     gkey = win * (1 << 24) + span
     newg = np.ones(nz, bool)
@@ -409,7 +459,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     nslabs_raw = int(nsl_per_group.sum())
     gstart = np.nonzero(newg)[0]
     raw_win = np.repeat(win[gstart], nsl_per_group)
-    raw_base = np.repeat(span[gstart] * SPAN_ROWS, nsl_per_group)
+    raw_base = np.repeat(span[gstart] * span_rows, nsl_per_group)
     slab_raw = gslab_start0[gid] + k
 
     # --- pad each window's slab count to a multiple of s_batch ---
@@ -436,8 +486,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     val_arr = np.zeros((nslabs, SUBS, LANES), cdt)
     vidx_arr = np.zeros((nslabs, SUBS, LANES), np.int16)
     val_arr[slab_of, sub_of, lane_of] = v
-    vidx_arr[slab_of, sub_of, lane_of] = (c & (RW_ROWS - 1)).astype(
-        np.int16)
+    vidx_arr[slab_of, sub_of, lane_of] = (c & vmask).astype(np.int16)
 
     # --- round planes: proper edge coloring (src+tgt) mod 8 of each
     # (slab, lane) cell, compacted per cell so lightly loaded matrices
@@ -488,11 +537,13 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
 
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
-                          s_batch, rounds), empty_spill
+                          s_batch, rounds,
+                          span_rows=span_rows), empty_spill
 
 
 def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
-                   rounds, val_lo_arr=None) -> StreamChunks:
+                   rounds, val_lo_arr=None,
+                   span_rows: int = SPAN_ROWS) -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
     cluster into trailing steps the kernel can skip), stack the round
     planes per step, and build the per-step control scalars. f64 values
@@ -534,4 +585,5 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
         cfirst=jnp.asarray(cfirst),
         sactive=jnp.asarray(sactive),
         val_lo=val_lo,
-        s_batch=s_batch, rounds_=rounds, df64=df64)
+        s_batch=s_batch, rounds_=rounds, df64=df64,
+        span_rows=span_rows)

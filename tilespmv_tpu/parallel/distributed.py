@@ -338,7 +338,8 @@ def _unify_lane_plans(plans: list) -> list:
                     [s.cfirst, jnp.zeros(xsteps, jnp.int32)]),
                 sactive=jnp.concatenate(
                     [s.sactive, jnp.zeros(xsteps, jnp.int32)]),
-                s_batch=s.s_batch, rounds_=rounds)
+                s_batch=s.s_batch, rounds_=rounds,
+                span_rows=s.span_rows)
         streams = [pad_stream(s) for s in per]
 
     res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
@@ -448,7 +449,7 @@ def _plan_blocks(tile_matrices, backend, compute_dtype):
         use_stream = coo_total >= STREAM_MIN_ENTRIES
         plans = [build_lane_plan(tm, compute_dtype=compute_dtype,
                                  force_t=128, use_stream=use_stream,
-                                 stream_s_batch=4)
+                                 stream_s_batch=4, stream_span_rows=64)
                  for tm in tile_matrices]
         return _unify_lane_plans(plans)
     plans = [build_plan(tm, compute_dtype=compute_dtype)
