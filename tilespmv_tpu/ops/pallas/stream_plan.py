@@ -263,17 +263,24 @@ def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
     a group's slab count is the max over its 8 sublanes of
     ceil(count/127)). A wider span must win by >5% to displace the
     default (the flagship corpus sits near 70% fill where 64 wins)."""
-    win = (g_row >> 10).astype(np.int64)
     nwin = max(1, -(-m // RW_ROWS))
+    # one bincount at (window, 1024-col block) granularity; every
+    # candidate's (span, sublane) grid is an aggregation of it (a
+    # sub-window at span r covers r/64 consecutive 1024-col blocks)
+    q = (g_col >> 10).astype(np.int64)
+    nq = int(q.max()) + 1
+    cnt_q = np.bincount((g_row >> 10).astype(np.int64) * nq + q,
+                        minlength=nwin * nq)
     best, best_cost = SPAN_CHOICES[0], None
     for r in SPAN_CHOICES:
-        sh = 7 + int(r).bit_length() - 1          # log2(r * 128)
-        nspans = (int(g_col.max()) >> sh) + 1
-        key = ((win * nspans + (g_col >> sh)) * 8
-               + ((g_col >> (sh - 3)) & 7))
-        cnt = np.bincount(key.astype(np.int64),
-                          minlength=nwin * nspans * 8)
-        slabs = int(-(-cnt.reshape(-1, 8).max(axis=1) // CAP).sum())
+        g = r // 64
+        nspans = -(-nq // (8 * g))
+        grid = cnt_q.reshape(nwin, nq)
+        if nspans * 8 * g != nq:
+            grid = np.pad(grid, [(0, 0), (0, nspans * 8 * g - nq)])
+        c = grid.reshape(nwin, nspans, 8, g).sum(axis=3)
+        slabs = int((-(-c.max(axis=2) // CAP) * (c.sum(axis=2) > 0))
+                    .sum())
         cost = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * (r // 8))
         if best_cost is None or cost < best_cost * 0.95:
             best, best_cost = r, cost
