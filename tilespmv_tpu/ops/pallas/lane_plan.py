@@ -1116,9 +1116,14 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         g_col = np.concatenate(s_cols)
         g_val = np.concatenate(s_vals)
         if g_val.size:
+            # keep the freshly built class on the HOST until the split
+            # decision: the split re-batches the (possibly huge) plane
+            # arrays, and a device round trip here costs minutes over
+            # the tunnel (split_stream_chunks uploads its results)
             stream, spill = build_stream_chunks(
                 g_row, g_col, g_val, tm.m, compute_dtype=cdt,
-                s_batch=stream_s_batch, span_rows=stream_span_rows)
+                s_batch=stream_s_batch, span_rows=stream_span_rows,
+                device=stream_s_batch is not None)
             if stream is not None and stream_s_batch is None:
                 # two-rate (base, heavy) split when the SLAB_NS cost
                 # model says it beats one global s_batch (the

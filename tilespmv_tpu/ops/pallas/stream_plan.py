@@ -313,7 +313,7 @@ def split_stream_chunks(st: StreamChunks):
     S0, R = st.s_batch, st.rounds_
     cw = np.asarray(st.cw)
     if cw.size == 0:
-        return st, None
+        return to_device(st), None
     n_windows = int(cw[-1]) + 1
     val = np.asarray(st.val)
     nslabs = val.shape[0]
@@ -328,7 +328,7 @@ def split_stream_chunks(st: StreamChunks):
     wcnt = np.bincount(win_of_slab[real], minlength=n_windows)
     s1, s2, heavy = pick_stream_split(wcnt)
     if s2 is None and s1 == S0:
-        return st, None
+        return to_device(st), None
     if s2 is None:
         # no split, but a better single rate than the builder's pick
         # (the native builder and pick_s_batch share constants, so this
@@ -401,7 +401,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                         compute_dtype=jnp.float32,
                         s_batch: Optional[int] = None,
                         use_native: bool = True,
-                        span_rows: Optional[int] = None):
+                        span_rows: Optional[int] = None,
+                        device: bool = True):
     """Compile a global COO entry list into stream slabs.
 
     Returns (StreamChunks | None, spill); spill is always empty in this
@@ -431,7 +432,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                                   raw["sbase"], win_full,
                                   raw["s_batch"], raw["rounds"],
                                   val_lo_arr=raw.get("val_lo"),
-                                  span_rows=span_rows), \
+                                  span_rows=span_rows,
+                                  device=device), \
                 empty_spill
 
     win = (g_row >> 10).astype(np.int64)
@@ -544,13 +546,25 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
 
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
-                          s_batch, rounds,
-                          span_rows=span_rows), empty_spill
+                          s_batch, rounds, span_rows=span_rows,
+                          device=device), empty_spill
+
+
+def to_device(sc: StreamChunks) -> StreamChunks:
+    """Upload a host-array StreamChunks (build_stream_chunks with
+    device=False) onto the default device; a no-op on device arrays."""
+    return dataclasses.replace(
+        sc, val=jnp.asarray(sc.val), vidx=jnp.asarray(sc.vidx),
+        planes=jnp.asarray(sc.planes), sbase=jnp.asarray(sc.sbase),
+        cw=jnp.asarray(sc.cw), cfirst=jnp.asarray(sc.cfirst),
+        sactive=jnp.asarray(sc.sactive),
+        val_lo=None if sc.val_lo is None else jnp.asarray(sc.val_lo))
 
 
 def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
                    rounds, val_lo_arr=None,
-                   span_rows: int = SPAN_ROWS) -> StreamChunks:
+                   span_rows: int = SPAN_ROWS,
+                   device: bool = True) -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
     cluster into trailing steps the kernel can skip), stack the round
     planes per step, and build the per-step control scalars. f64 values
@@ -575,22 +589,23 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
     sactive = (load.reshape(-1, s_batch).sum(axis=1) > 0).astype(np.int32)
 
     df64 = val_arr.dtype == np.float64 or val_lo_arr is not None
+    put = jnp.asarray if device else (lambda a: a)
     val_lo = None
     if val_lo_arr is not None:
-        val_lo = jnp.asarray(val_lo_arr)
+        val_lo = put(val_lo_arr)
     elif df64:
         hi = val_arr.astype(np.float32)
-        val_lo = jnp.asarray((val_arr - hi).astype(np.float32))
+        val_lo = put((val_arr - hi).astype(np.float32))
         val_arr = hi
 
     return StreamChunks(
-        val=jnp.asarray(val_arr),
-        vidx=jnp.asarray(vidx_arr),
-        planes=jnp.asarray(planes),
-        sbase=jnp.asarray(sbase),
-        cw=jnp.asarray(cw),
-        cfirst=jnp.asarray(cfirst),
-        sactive=jnp.asarray(sactive),
+        val=put(val_arr),
+        vidx=put(vidx_arr),
+        planes=put(planes),
+        sbase=put(sbase.astype(np.int32)),
+        cw=put(cw),
+        cfirst=put(cfirst),
+        sactive=put(sactive),
         val_lo=val_lo,
         s_batch=s_batch, rounds_=rounds, df64=df64,
         span_rows=span_rows)
