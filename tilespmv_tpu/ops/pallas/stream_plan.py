@@ -264,23 +264,29 @@ def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
     ceil(count/127)). A wider span must win by >5% to displace the
     default (the flagship corpus sits near 70% fill where 64 wins)."""
     nwin = max(1, -(-m // RW_ROWS))
-    # one bincount at (window, 1024-col block) granularity; every
+    # count occupied (window, 1024-col block) cells once; every
     # candidate's (span, sublane) grid is an aggregation of it (a
-    # sub-window at span r covers r/64 consecutive 1024-col blocks)
+    # sub-window at span r covers r/64 consecutive 1024-col blocks).
+    # Occupied-cell counts (not a dense nwin x nq table, which would be
+    # GBs on huge-dimension matrices).
     q = (g_col >> 10).astype(np.int64)
     nq = int(q.max()) + 1
-    cnt_q = np.bincount((g_row >> 10).astype(np.int64) * nq + q,
-                        minlength=nwin * nq)
+    uk, uc = np.unique((g_row >> 10).astype(np.int64) * nq + q,
+                       return_counts=True)
+    uw, uq = uk // nq, uk % nq
     best, best_cost = SPAN_CHOICES[0], None
     for r in SPAN_CHOICES:
         g = r // 64
-        nspans = -(-nq // (8 * g))
-        grid = cnt_q.reshape(nwin, nq)
-        if nspans * 8 * g != nq:
-            grid = np.pad(grid, [(0, 0), (0, nspans * 8 * g - nq)])
-        c = grid.reshape(nwin, nspans, 8, g).sum(axis=3)
-        slabs = int((-(-c.max(axis=2) // CAP) * (c.sum(axis=2) > 0))
-                    .sum())
+        # (window, span, sublane) key of each occupied cell; counts per
+        # key; then slabs = sum over (window, span) groups of
+        # ceil(max-over-sublanes / CAP)
+        gkey = (uw * nq + (uq // (8 * g)) * (8 * g)) * 8 + (uq // g) % 8
+        gk8, inv = np.unique(gkey, return_inverse=True)
+        c = np.bincount(inv, weights=uc).astype(np.int64)
+        _, ginv = np.unique(gk8 // 8, return_inverse=True)
+        mx = np.zeros(int(ginv[-1]) + 1, np.int64)
+        np.maximum.at(mx, ginv, c)
+        slabs = int((-(-mx // CAP)).sum())
         cost = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * (r // 8))
         if best_cost is None or cost < best_cost * 0.95:
             best, best_cost = r, cost
