@@ -135,6 +135,10 @@ CORPUS = {
     "mixed_large": lambda: mixed_structure(65536, 65536, seed=7),
     "banded_large": lambda: banded(262144, 262144, 16, seed=8),
     "powerlaw_large": lambda: power_law(262144, 262144, 24, seed=9),
+    # SuiteSparse-scale web-graph archetype (~5.5M nnz at 2e-5 density):
+    # exercises the stream engine's adaptive superspan (64 -> 256 rows,
+    # 16% -> 63% slab fill; BASELINE.md round 3)
+    "powerlaw_huge": lambda: power_law(524288, 524288, 11, seed=77),
 }
 
 
