@@ -198,3 +198,32 @@ def test_adaptive_span_rows_very_sparse():
     # the reference harness gate (1% relative with an absolute floor:
     # near-zero rows see the engine's absolute prefix-difference error)
     assert not (np.abs(y - ref) > 0.01 * np.abs(ref) + 1e-4).any()
+
+
+def test_adaptive_span_rows_df64():
+    """The double-f32 stream kernel carries the widened superspan too
+    (same plan, (hi, lo) staging loops sized by span_rows)."""
+    import jax
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled")
+    from tilespmv_tpu.io.mmio import CSRMatrix
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    rng = np.random.default_rng(43)
+    m = n = 32768
+    key = np.unique(rng.integers(0, m, 25000).astype(np.int64) * n
+                    + rng.integers(0, n, 25000).astype(np.int64))
+    row, col = key // n, key % n
+    val = rng.standard_normal(row.size)
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(row, minlength=m))]).astype(np.int64)
+    csr = CSRMatrix((m, n), indptr, col.astype(np.int64), val)
+    op = TileSpMV(csr, compute_dtype=jnp.float64)
+    assert op.backend == "pallas"
+    assert op.plan.stream is not None and op.plan.stream.df64
+    assert op.plan.stream.span_rows > 64
+    x = rng.standard_normal(n)
+    y = np.asarray(op(x))
+    ref = np.zeros(m)
+    np.add.at(ref, row, val * x[col])
+    mag = np.abs(val).sum() / m
+    assert np.max(np.abs(y - ref) / (1 + mag + np.abs(ref))) < 1e-10
