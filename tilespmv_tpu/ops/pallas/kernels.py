@@ -49,7 +49,7 @@ def _x32_trace():
 from .lane_plan import (DENSE_MROWS, META_LROW, META_XLOC, PANEL_TC,
                         ROW_WINDOW, BandChunks, DenseChunks, LanePlan,
                         SparseChunks, sparse_meta_rows)
-from .stream_plan import (LANES, SPAN_ROWS, SUBS, RW_ROWS, XBLOCK_ROWS,
+from .stream_plan import (LANES, SPAN_ROWS, SUBS, XBLOCK_ROWS,
                           StreamChunks)
 
 _B = 16  # tile edge; kernels are specialized to 16
