@@ -1120,17 +1120,19 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             # decision: the split re-batches the (possibly huge) plane
             # arrays, and a device round trip here costs minutes over
             # the tunnel (split_stream_chunks uploads its results)
+            will_split = stream_s_batch is None
             stream, spill = build_stream_chunks(
                 g_row, g_col, g_val, tm.m, compute_dtype=cdt,
                 s_batch=stream_s_batch, span_rows=stream_span_rows,
-                device=stream_s_batch is not None)
-            if stream is not None and stream_s_batch is None:
+                device=not will_split, stack=not will_split)
+            if stream is not None and will_split:
                 # two-rate (base, heavy) split when the SLAB_NS cost
                 # model says it beats one global s_batch (the
                 # distributed layer forces a shared s_batch instead —
                 # its plans must agree across shards)
                 from .stream_plan import split_stream_chunks
-                stream, stream2 = split_stream_chunks(stream)
+                stream, stream2 = split_stream_chunks(stream,
+                                                      raw_planes=True)
         else:
             from .stream_plan import empty_stream_chunks
             stream = empty_stream_chunks(max(1, -(-tm.m // RW_ROWS)), cdt,

@@ -304,7 +304,7 @@ def unstack_step_planes(planes: np.ndarray, s_batch: int,
         nsteps * s_batch, plane_rows(rounds), LANES)
 
 
-def split_stream_chunks(st: StreamChunks):
+def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
     """Re-batch a built stream class into a (base, heavy) pair when the
     SLAB_NS cost model says two slabs-per-step rates beat one.
 
@@ -315,11 +315,20 @@ def split_stream_chunks(st: StreamChunks):
     XLA ops. Returns (base, heavy | None); (st, None) when the single
     class stands. Operates on any finished StreamChunks (native or
     NumPy builder) — padding slabs are load==0 and are stripped and
-    re-padded at each class's rate."""
+    re-padded at each class's rate. `raw_planes`: st.planes is still in
+    the RAW per-slab layout (build_stream_chunks with stack=False) — a
+    host-only fast path skipping one stack+unstack round trip."""
+    def _as_built(sc):
+        if raw_planes:
+            sc = dataclasses.replace(
+                sc, planes=stack_step_planes(np.asarray(sc.planes),
+                                             sc.s_batch, sc.rounds_))
+        return to_device(sc)
+
     S0, R = st.s_batch, st.rounds_
     cw = np.asarray(st.cw)
     if cw.size == 0:
-        return to_device(st), None
+        return _as_built(st), None
     n_windows = int(cw[-1]) + 1
     val = np.asarray(st.val)
     nslabs = val.shape[0]
@@ -334,7 +343,7 @@ def split_stream_chunks(st: StreamChunks):
     wcnt = np.bincount(win_of_slab[real], minlength=n_windows)
     s1, s2, heavy = pick_stream_split(wcnt)
     if s2 is None and s1 == S0:
-        return to_device(st), None
+        return _as_built(st), None
     if s2 is None:
         # no split, but a better single rate than the builder's pick
         # (the native builder and pick_s_batch share constants, so this
@@ -343,7 +352,8 @@ def split_stream_chunks(st: StreamChunks):
 
     vidx = np.asarray(st.vidx)
     sbase = np.asarray(st.sbase)
-    raw_planes = unstack_step_planes(np.asarray(st.planes), S0, R)
+    planes_raw = (np.asarray(st.planes) if raw_planes
+                  else unstack_step_planes(np.asarray(st.planes), S0, R))
     val_lo = np.asarray(st.val_lo) if st.df64 else None
 
     def build(wmask, s):
@@ -366,7 +376,7 @@ def split_stream_chunks(st: StreamChunks):
             dst = starts[np.searchsorted(sel_w, w_of)] + _rank_within(w_of)
             v[dst] = val[idx]
             vi[dst] = vidx[idx]
-            pr[dst] = raw_planes[idx]
+            pr[dst] = planes_raw[idx]
             sb[dst] = sbase[idx]
             ld[dst] = load[idx]
             if vl is not None:
@@ -408,7 +418,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                         s_batch: Optional[int] = None,
                         use_native: bool = True,
                         span_rows: Optional[int] = None,
-                        device: bool = True):
+                        device: bool = True,
+                        stack: bool = True):
     """Compile a global COO entry list into stream slabs.
 
     Returns (StreamChunks | None, spill); spill is always empty in this
@@ -439,7 +450,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                                   raw["s_batch"], raw["rounds"],
                                   val_lo_arr=raw.get("val_lo"),
                                   span_rows=span_rows,
-                                  device=device), \
+                                  device=device, stack=stack), \
                 empty_spill
 
     win = (g_row >> 10).astype(np.int64)
@@ -553,7 +564,7 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
                           s_batch, rounds, span_rows=span_rows,
-                          device=device), empty_spill
+                          device=device, stack=stack), empty_spill
 
 
 def to_device(sc: StreamChunks) -> StreamChunks:
@@ -570,19 +581,24 @@ def to_device(sc: StreamChunks) -> StreamChunks:
 def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
                    rounds, val_lo_arr=None,
                    span_rows: int = SPAN_ROWS,
-                   device: bool = True) -> StreamChunks:
+                   device: bool = True,
+                   stack: bool = True) -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
     cluster into trailing steps the kernel can skip), stack the round
     planes per step, and build the per-step control scalars. f64 values
     are split into an exact (hi, lo) f32 plane pair for the double-f32
     stream kernel; the native builder exports the pair pre-split
-    (`val_lo_arr`)."""
+    (`val_lo_arr`). `stack=False` keeps the planes in the RAW per-slab
+    layout — a host-only intermediate for split_stream_chunks, which
+    would otherwise unstack them right back."""
     nslabs = val_arr.shape[0]
     load = np.count_nonzero(val_arr.reshape(nslabs, -1), axis=1)
     order = np.lexsort((-load, win_arr))
     val_arr = val_arr[order]
     vidx_arr = vidx_arr[order]
-    planes = stack_step_planes(planes[order], s_batch, rounds)
+    planes = planes[order]
+    if stack:
+        planes = stack_step_planes(planes, s_batch, rounds)
     sbase = sbase[order]
     load = load[order]
     if val_lo_arr is not None:
