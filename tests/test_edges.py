@@ -130,3 +130,11 @@ def test_single_entry_matrix():
     op = TileSpMV(csr, backend="pallas")
     y = np.asarray(op(np.arange(32, dtype=np.float32)))
     assert abs(y[4] - 17.5) < 1e-5 and np.abs(np.delete(y, 4)).max() == 0
+
+
+def test_spmv_cpu_validates_x_length():
+    from tilespmv_tpu import tile_create, spmv_cpu
+    csr = generate.mixed_structure(256, 300, seed=3)
+    tm = tile_create(csr)
+    with pytest.raises(ValueError, match="expected"):
+        spmv_cpu(tm, np.zeros(299))

@@ -48,6 +48,9 @@ def spmv_cpu(tm: TileMatrix, x: np.ndarray,
     matching the reference GPU flow where the HYB-COO tail is disabled in
     the fused kernel (tilespmv_cuda.h:635-660).
     """
+    x = np.asarray(x)
+    if x.shape != (tm.n,):
+        raise ValueError(f"x has shape {x.shape}, expected ({tm.n},)")
     m = tm.m
     acc = np.result_type(tm.csr.val.dtype, x.dtype)
     y = np.zeros(m, dtype=acc)
