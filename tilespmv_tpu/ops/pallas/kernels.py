@@ -170,6 +170,11 @@ def _gather_xg(panels, meta_ref, b, t: int, k_panels: int, acc_dtype,
     return jnp.concatenate(xgs, axis=1) if len(xgs) > 1 else xgs[0]
 
 
+WINDOW_BLOCK_VARIANT = {"onehot": "lr"}  # ablation: "const" (WRONG
+#   results) hoists the one-hot build out of the loop to isolate its
+#   compare/select surface cost (scripts/ablate_dense.py)
+
+
 def _window_block(yc, meta_ref, b, t: int, acc_dtype,
                   interpret: bool = False, exact3: bool = False):
     """Route a chunk result to its (16, ROW_WINDOW) output block.
@@ -179,9 +184,13 @@ def _window_block(yc, meta_ref, b, t: int, acc_dtype,
         return jnp.zeros((yc.shape[0], ROW_WINDOW), acc_dtype).at[:, lr].add(
             yc)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (t, ROW_WINDOW), 1)
-    ohr = jnp.where(lr[:, None] == iota_r,
-                    jnp.asarray(1.0, jnp.float32),
-                    jnp.asarray(0.0, jnp.float32))
+    if WINDOW_BLOCK_VARIANT["onehot"] == "const":
+        ohr = jnp.where(iota_r == 0, jnp.asarray(1.0, jnp.float32),
+                        jnp.asarray(0.0, jnp.float32))
+    else:
+        ohr = jnp.where(lr[:, None] == iota_r,
+                        jnp.asarray(1.0, jnp.float32),
+                        jnp.asarray(0.0, jnp.float32))
     if exact3:
         return _split_dot3(yc, ohr)
     return _split_dot(yc, ohr, acc_dtype)  # (16, RW)
