@@ -258,7 +258,10 @@ def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
         for b in range(c_batch):
             xg = _gather_xg(panels, meta_ref, b, t, k_panels, acc_dtype)
             # val is j-major: val[b, j] is the contiguous (16_i, T) slab
-            # of the tiles' j-th columns
+            # of the tiles' j-th columns. (A 4-way interleaved
+            # accumulator variant measured WORSE — 571 vs 489 ns/chunk
+            # on v5e: the extra live vregs cost more than the serial
+            # FMA latency Mosaic already pipelines.)
             yc = functools.reduce(
                 lambda a, j: a + (val_ref[b, j].astype(acc_dtype)
                                   * xg[j, :][None, :]),
