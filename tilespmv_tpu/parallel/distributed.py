@@ -447,9 +447,12 @@ def _plan_blocks(tile_matrices, backend, compute_dtype):
         coo_total = sum(int(tm.coo.val.shape[0]) if tm.coo.num_tiles else 0
                         for tm in tile_matrices)
         use_stream = coo_total >= STREAM_MIN_ENTRIES
+        # shard-uniform stream knobs: s_batch=8 (on-chip singles measure
+        # 118.9 ns/slab at 8 vs 153.6 at 4 — calibrate_slab_ns round 3)
+        # and the default span width
         plans = [build_lane_plan(tm, compute_dtype=compute_dtype,
                                  force_t=128, use_stream=use_stream,
-                                 stream_s_batch=4, stream_span_rows=64)
+                                 stream_s_batch=8, stream_span_rows=64)
                  for tm in tile_matrices]
         return _unify_lane_plans(plans)
     plans = [build_plan(tm, compute_dtype=compute_dtype)
