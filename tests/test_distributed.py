@@ -122,3 +122,28 @@ def test_distributed_banded_uses_band_class(mesh8):
     x = np.linspace(-1, 1, csr.n).astype(np.float32)
     golden = csr.to_dense().astype(np.float32) @ x
     assert float(np.max(np.abs(np.asarray(op(x)) - golden))) < 1e-2
+
+
+def test_distributed_stream_concentrated_in_one_shard(mesh8):
+    """All COO/stream entries live in the first shard's rows; the other
+    shards build empty stream classes whose STATIC s_batch must match
+    the real shards' pinned rate (a mismatch diverges the stacked
+    plans' treedefs)."""
+    from tilespmv_tpu.io.mmio import CSRMatrix
+    rng = np.random.default_rng(13)
+    m = n = 8192                        # 8 shards x 1024 rows
+    nnz = 6000
+    r = rng.integers(0, 1024, nnz).astype(np.int64)   # shard 0 only
+    c = rng.integers(0, n, nnz).astype(np.int64)
+    key = np.unique(r * n + c)
+    r, c = key // n, key % n
+    v = rng.standard_normal(r.size)
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(r, minlength=m))]).astype(np.int64)
+    csr = CSRMatrix((m, n), indptr, c.astype(np.int64), v)
+    op = DistributedSpMV(csr, mesh=mesh8, x_mode="allgather")
+    x = np.linspace(-1, 1, n).astype(np.float32)
+    y = np.asarray(op(x))
+    ref = np.zeros(m)
+    np.add.at(ref, r, v * x[c].astype(np.float64))
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)

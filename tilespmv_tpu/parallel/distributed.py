@@ -303,8 +303,14 @@ def _unify_lane_plans(plans: list) -> list:
         nw2 = max(p.n_stream_windows for p in plans)
         rounds = max(p.stream.rounds for p in plans
                      if p.stream is not None)
+        # s_batch is a STATIC pytree field: an empty shard class must
+        # match the real shards' rate or the stacked plans' treedefs
+        # diverge
+        s_b = next(p.stream.s_batch for p in plans
+                   if p.stream is not None)
         per = [p.stream if p.stream is not None
-               else empty_stream_chunks(nw2, cdt, rounds=rounds)
+               else empty_stream_chunks(nw2, cdt, rounds=rounds,
+                                        s_batch=s_b)
                for p in plans]
         ns = max(s.nslabs for s in per)
 
