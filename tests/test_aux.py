@@ -56,3 +56,15 @@ def test_profile_engines_smoke():
     assert "dense" in prof and prof["dense"]["us"] > 0
     assert any(k.startswith("sparse") or k == "stream"
                for k in prof)
+
+
+def test_plan_summary():
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    csr = generate.mixed_structure(4096, 4096, seed=1)
+    op = TileSpMV(csr, backend="pallas")
+    s = op.plan.summary()
+    assert s["nnz"] == csr.nnz and s["plan_mbytes"] > 0
+    kinds = {c["kind"] for c in s["classes"]}
+    assert "stream" in kinds or "dense" in kinds
+    import json
+    json.dumps(s)          # must be JSON-serializable for the CLI

@@ -203,6 +203,8 @@ def main(argv=None) -> int:
             return 1
 
     if args.profile and op.backend == "pallas":
+        import json as _json
+        print("plan summary: " + _json.dumps(op.plan.summary()))
         from .utils.profiling import profile_engines
         print("per-format-class cost profile:")
         for cls_name, stats in profile_engines(op, x=x).items():

@@ -241,6 +241,39 @@ class LanePlan:
         total += self.x_padded_len * 4 + self.m * 4
         return total
 
+    def summary(self) -> dict:
+        """Static per-class plan statistics — the observability
+        counterpart of utils.profiling.profile_engines (which needs a
+        device); role-equivalent of the reference's DEBUG_FORMATCOST
+        prints (main.cu) at plan rather than run time."""
+        s: dict = dict(m=self.m, n=self.n, nnz=self.nnz,
+                       plan_mbytes=round(self.bytes_accessed() / 1e6, 2),
+                       classes=[])
+        if self.dense is not None:
+            d = self.dense
+            s["classes"].append(dict(
+                kind="dense", chunks=int(d.val.shape[0]),
+                t_lanes=d.t_lanes, k_panels=d.k_panels,
+                c_batch=d.c_batch, df64=bool(d.df64)))
+        if self.band is not None:
+            b = self.band
+            s["classes"].append(dict(
+                kind="band", c_cols=int(b.c_cols),
+                chunks=int(b.val.shape[0]), df64=bool(b.df64)))
+        for w in self.sparses:
+            s["classes"].append(dict(
+                kind=f"w{w.width}", chunks=int(w.val.shape[0]),
+                k_panels=w.k_panels))
+        for tag, st in (("stream", self.stream),
+                        ("stream2", self.stream2)):
+            if st is not None:
+                s["classes"].append(dict(
+                    kind=tag, slabs=int(st.nslabs), s_batch=st.s_batch,
+                    rounds=st.rounds, span_rows=st.span_rows,
+                    df64=bool(st.df64)))
+        s["residual_nnz"] = int(self.residual.val.shape[0])
+        return s
+
 
 def _expand(ptr):
     sizes = np.diff(ptr)
