@@ -148,7 +148,7 @@ def test_df64_deep_tiles_stream_explosion():
     exact df64 stream engine instead (lane_plan.DF64_ROUND_FILL_MIN)."""
     if not jax.config.jax_enable_x64:
         pytest.skip("x64 disabled")
-    plan = _df64_tiles_case(20, 8, seed=9)   # 20 tiles/round < FILL_MIN
+    plan = _df64_tiles_case(8, 8, seed=9)    # 8 tiles/round < FILL_MIN
     assert plan.dense is None
     assert plan.stream is not None and plan.stream.df64
 

@@ -86,8 +86,11 @@ COO_SPARSE_MIN_AVG = 4.0
 # df64 densification keeps a (window, round) tile group only when it can
 # fill this many of the chunk's T lanes; deeper/thinner groups run as
 # entries in the exact df64 stream engine (heavy tile-rows otherwise
-# force one round per tile — 51x padding on mixed_large)
-DF64_ROUND_FILL_MIN = 48
+# force one round per tile — 51x padding on mixed_large). On-chip A/B
+# (mixed_large df64): 48 measured 424 us, 4..24 flat at 298-325 — the
+# dense df64 class beats the stream for multi-entry tiles even at low
+# lane fill, so keep only truly degenerate rounds out
+DF64_ROUND_FILL_MIN = 12
 
 # dense-class meta rows (int32): x span location and window-local tile row
 META_XLOC = 0
