@@ -26,8 +26,9 @@ def _run_stream(m, n, nnz, seed, heavy_row=False):
     sc, spill = build_stream_chunks(row, col, val, m)
     nw2 = max(1, -(-m // RW_ROWS))
     x = rng.standard_normal(n).astype(np.float32)
-    # MAX_SPAN_ROWS (64) slack, rounded up to whole 64-row spans for
-    # the kernel's chunk-permuted x staging (generous 128-row pad)
+    # span slack for the kernel's chunk-permuted x staging; these small
+    # matrices (n <= 8192: one superspan at any width) always pick the
+    # 64-row span, so a 128-row pad suffices
     xpad = np.zeros(((n + 127) // 128 + 128) * 128, np.float32)
     xpad[:n] = x
     ys = stream_class_call(sc, jnp.asarray(xpad.reshape(-1, 128)), nw2,
