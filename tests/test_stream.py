@@ -228,3 +228,37 @@ def test_adaptive_span_rows_df64():
     np.add.at(ref, row, val * x[col])
     mag = np.abs(val).sum() / m
     assert np.max(np.abs(y - ref) / (1 + mag + np.abs(ref))) < 1e-10
+
+
+def test_split_composes_with_wide_span():
+    """The two-rate split re-batches wide-span classes too: span_rows
+    must survive the rebuild and the pair must stay exact."""
+    from tilespmv_tpu.io.mmio import CSRMatrix
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    rng = np.random.default_rng(59)
+    m = n = 32768
+    # skewed: two heavy windows + sparse tail, sparse enough overall
+    # that the picker widens the span
+    rows = [rng.integers(0, 2048, 30000)]
+    cols = [rng.integers(0, n, 30000)]
+    for w in range(2, 32):
+        rows.append(rng.integers(w * 1024, (w + 1) * 1024, 120))
+        cols.append(rng.integers(0, n, 120))
+    r = np.concatenate(rows).astype(np.int64)
+    c = np.concatenate(cols).astype(np.int64)
+    key = np.unique(r * n + c)
+    r, c = key // n, key % n
+    v = rng.standard_normal(r.size)
+    indptr = np.concatenate(
+        [[0], np.cumsum(np.bincount(r, minlength=m))]).astype(np.int64)
+    csr = CSRMatrix((m, n), indptr, c.astype(np.int64), v)
+    op = TileSpMV(csr, backend="pallas")
+    st = op.plan.stream
+    assert st is not None
+    if op.plan.stream2 is not None:
+        assert op.plan.stream2.span_rows == st.span_rows
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(op(x))
+    ref = np.zeros(m)
+    np.add.at(ref, r, v * x[c].astype(np.float64))
+    assert not (np.abs(y - ref) > 0.01 * np.abs(ref) + 1e-4).any()
