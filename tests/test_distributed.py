@@ -147,3 +147,21 @@ def test_distributed_stream_concentrated_in_one_shard(mesh8):
     ref = np.zeros(m)
     np.add.at(ref, r, v * x[c].astype(np.float64))
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("x_mode", ["allgather", "halo"])
+def test_distributed_df64(mesh8, x_mode):
+    """f64 (reference default precision) under the SPMD row partition:
+    the unifier must carry the df64 static flags and part-plane shapes
+    through its empties and pads (dense 48-row vals, band 3C parts,
+    stream (hi, lo) pairs)."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled")
+    csr = generate.mixed_structure(2048, 2048, seed=5)
+    op = DistributedSpMV(csr, mesh=mesh8, x_mode=x_mode,
+                         compute_dtype=np.float64)
+    x = np.linspace(-1, 1, 2048)
+    y = np.asarray(op(x))
+    ref = csr.to_dense().astype(np.float64) @ x
+    mag = np.abs(csr.to_dense()) @ np.abs(x)
+    assert np.max(np.abs(y - ref) / (1 + mag)) < 1e-10

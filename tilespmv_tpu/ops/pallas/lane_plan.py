@@ -762,15 +762,17 @@ def empty_dense_class(n_windows: int, t_lanes: int,
     """A class of all-inert chunks, one per window (initializes the class
     output to zero; used to unify shard plans for SPMD)."""
     cdt = np.dtype(compute_dtype)
+    df64 = cdt == np.dtype(np.float64)
     meta = np.zeros((n_windows, DENSE_MROWS, t_lanes), np.int32)
     meta[:, META_XLOC] = -1
     return DenseChunks(
-        val=jnp.zeros((n_windows, 16, 16, t_lanes), cdt),
+        val=jnp.zeros((n_windows, 48 if df64 else 16, 16, t_lanes),
+                      jnp.float32 if df64 else cdt),
         meta=jnp.asarray(meta),
         pb=jnp.zeros(n_windows * k_panels, jnp.int32),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
-        t_lanes=t_lanes, k_panels=k_panels)
+        t_lanes=t_lanes, k_panels=k_panels, df64=df64)
 
 
 def empty_sparse_class(n_windows: int, width: int = 16,

@@ -190,12 +190,19 @@ def _unify_lane_plans(plans: list) -> list:
                                         empty_sparse_class)
     from ..ops.pallas.stream_plan import (StreamChunks, empty_stream_chunks)
     n_windows = max(p.n_windows for p in plans)
-    cdt = None
-    for p in plans:
-        if p.dense is not None:
-            cdt = p.dense.val.dtype
-        for s in p.sparses:
-            cdt = s.val.dtype
+    # df64 classes store f32 part-planes, so the VALUE dtype cannot
+    # distinguish precisions — read the static class flags instead
+    df64 = any((p.dense is not None and p.dense.df64)
+               or (p.band is not None and p.band.df64)
+               or (p.stream is not None and p.stream.df64)
+               for p in plans)
+    cdt = jnp.float64 if df64 else None
+    if cdt is None:
+        for p in plans:
+            if p.dense is not None:
+                cdt = p.dense.val.dtype
+            for s in p.sparses:
+                cdt = s.val.dtype
     cdt = cdt or jnp.float32
     t_dense = max((p.dense.t_lanes for p in plans if p.dense is not None),
                   default=128)
@@ -222,7 +229,8 @@ def _unify_lane_plans(plans: list) -> list:
             cfirst=jnp.concatenate([c.cfirst, jnp.zeros(extra, jnp.int32)]),
         )
         if is_dense:
-            return DenseChunks(t_lanes=t, k_panels=c.k_panels, **kw)
+            return DenseChunks(t_lanes=t, k_panels=c.k_panels,
+                               df64=c.df64, **kw)
         return SparseChunks(width=c.width, t_lanes=t,
                             k_panels=c.k_panels, **kw)
 
@@ -241,24 +249,27 @@ def _unify_lane_plans(plans: list) -> list:
     if has_band:
         import numpy as _np
         cmax = max(p.band.c_cols for p in plans if p.band is not None)
+        vparts = 3 if df64 else 1   # df64 band val rows: 3 parts per C
 
         def pad_band(b):
             if b is None:
                 return BandChunks(
-                    val=jnp.zeros((n_windows, cmax, 16, 16, 256),
-                                  cdt),
+                    val=jnp.zeros((n_windows, vparts * cmax, 16, 16, 256),
+                                  jnp.float32 if df64 else cdt),
                     bloc=jnp.zeros((n_windows, 1, 256), jnp.int32),
                     pb=jnp.zeros(n_windows * BAND_K, jnp.int32),
                     cw=jnp.asarray(_np.arange(n_windows,
                                               dtype=_np.int32)),
                     cfirst=jnp.ones(n_windows, jnp.int32),
-                    c_cols=cmax, k_panels=BAND_K)
+                    c_cols=cmax, k_panels=BAND_K, df64=df64)
             val = b.val
             if b.c_cols < cmax:
                 # extra brick columns are zero: they multiply x at
-                # in-range panel lanes and add nothing
-                val = jnp.pad(val, [(0, 0), (0, cmax - b.c_cols),
-                                    (0, 0), (0, 0), (0, 0)])
+                # in-range panel lanes and add nothing (df64: 3 part
+                # rows per brick column)
+                val = jnp.pad(val,
+                              [(0, 0), (0, vparts * (cmax - b.c_cols)),
+                               (0, 0), (0, 0), (0, 0)])
             nw = b.cw.shape[0]
             if nw < n_windows:
                 extra = n_windows - nw
@@ -275,10 +286,10 @@ def _unify_lane_plans(plans: list) -> list:
                     cw=jnp.asarray(_np.arange(n_windows,
                                               dtype=_np.int32)),
                     cfirst=jnp.ones(n_windows, jnp.int32),
-                    c_cols=cmax, k_panels=b.k_panels)
+                    c_cols=cmax, k_panels=b.k_panels, df64=b.df64)
             return BandChunks(val=val, bloc=b.bloc, pb=b.pb, cw=b.cw,
                               cfirst=b.cfirst, c_cols=cmax,
-                              k_panels=b.k_panels)
+                              k_panels=b.k_panels, df64=b.df64)
         bands = [pad_band(p.band) for p in plans]
 
     # sparse classes unify per width: every shard gets every width that
@@ -344,7 +355,8 @@ def _unify_lane_plans(plans: list) -> list:
                     [s.cfirst, jnp.zeros(xsteps, jnp.int32)]),
                 sactive=jnp.concatenate(
                     [s.sactive, jnp.zeros(xsteps, jnp.int32)]),
-                s_batch=s.s_batch, rounds_=rounds,
+                val_lo=padn(s.val_lo) if s.df64 else None,
+                s_batch=s.s_batch, rounds_=rounds, df64=s.df64,
                 span_rows=s.span_rows)
         streams = [pad_stream(s) for s in per]
 
