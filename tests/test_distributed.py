@@ -165,3 +165,27 @@ def test_distributed_df64(mesh8, x_mode):
     ref = csr.to_dense().astype(np.float64) @ x
     mag = np.abs(csr.to_dense()) @ np.abs(x)
     assert np.max(np.abs(y - ref) / (1 + mag)) < 1e-10
+
+
+def test_distributed2d_df64():
+    if not jax.config.jax_enable_x64:
+        pytest.skip("x64 disabled")
+    from tilespmv_tpu.parallel import DistributedSpMV2D, make_mesh2d
+    csr = generate.mixed_structure(2048, 2048, seed=5)
+    op = DistributedSpMV2D(csr, mesh=make_mesh2d(2, 4),
+                           compute_dtype=np.float64)
+    x = np.linspace(-1, 1, 2048)
+    y = np.asarray(op(x))
+    ref = csr.to_dense().astype(np.float64) @ x
+    mag = np.abs(csr.to_dense()) @ np.abs(x)
+    assert np.max(np.abs(y - ref) / (1 + mag)) < 1e-10
+
+
+def test_distributed_bf16(mesh8):
+    import jax.numpy as jnp
+    csr = generate.mixed_structure(2048, 2048, seed=5)
+    op = DistributedSpMV(csr, mesh=mesh8, compute_dtype=jnp.bfloat16)
+    x = np.linspace(-1, 1, 2048).astype(np.float32)
+    y = np.asarray(op(x)).astype(np.float64)
+    ref = csr.to_dense().astype(np.float64) @ x.astype(np.float64)
+    assert np.max(np.abs(y - ref) / (np.abs(ref) + 1.0)) < 0.05
