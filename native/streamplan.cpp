@@ -63,7 +63,7 @@ extern "C" {
 
 void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
                const double* vals, int64_t m, int32_t s_batch_req,
-               int32_t span_rows) {
+               int32_t span_rows, int32_t want_lo) {
     auto* P = new StreamPlan();
     const int64_t nwin = std::max<int64_t>(1, (m + RW_ROWS - 1) / RW_ROWS);
     P->nwin = nwin;
@@ -168,7 +168,10 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
     P->nsteps = nslabs / S;
 
     P->val.assign(nslabs * SUBS * LANES, 0.0f);
-    P->val_lo.assign(nslabs * SUBS * LANES, 0.0f);
+    // the df64 LO plane is only materialized when the caller will
+    // export it (round-3 advisor: pure-f32 builds paid the allocation
+    // and per-entry subtraction for nothing on the hot planning path)
+    if (want_lo) P->val_lo.assign(nslabs * SUBS * LANES, 0.0f);
     P->vidx.assign(nslabs * SUBS * LANES, 0);
     P->planes.assign(nslabs * MAXR * 3 * SUBS * LANES, 0);
     P->sbase.assign(nslabs, 0);
@@ -228,7 +231,8 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
                         const double vv = vals[ord[e]];
                         const float hi = (float)vv;
                         P->val[idx] = hi;
-                        P->val_lo[idx] = (float)(vv - (double)hi);
+                        if (want_lo)
+                            P->val_lo[idx] = (float)(vv - (double)hi);
                         P->vidx[idx] = (int16_t)(g_col[ord[e]]
                                                  & vmask);
                     }

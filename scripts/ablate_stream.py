@@ -10,6 +10,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+os.environ["TILESPMV_ABLATE"] = "1"  # this harness may time
+# wrong-results probe arms; the kernels refuse them without this
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -224,7 +224,7 @@ def _init_stream_symbols(lib) -> bool:
         lib.sp_build.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
         ]
         lib.sp_scalars.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.sp_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
@@ -241,8 +241,9 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
                 span_rows: int = 64) -> Optional[dict]:
     """Run the native stream-plan builder (native/streamplan.cpp);
     returns the raw plan arrays or None when unavailable. `want_lo`
-    additionally exports the double-f32 LO value plane (the builder
-    always computes it; f64 inputs lose nothing)."""
+    makes the builder compute and export the double-f32 LO value plane
+    (skipped entirely for f32 builds — it would cost an extra
+    nslabs*8*128 float buffer and a per-entry f64 subtraction)."""
     lib = get_lib()
     if lib is None or not _init_stream_symbols(lib):
         return None
@@ -252,7 +253,7 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
     nz = g_row.shape[0]
     h = lib.sp_build(nz, g_row.ctypes.data, g_col.ctypes.data,
                      val64.ctypes.data, m, int(s_batch or 0),
-                     int(span_rows))
+                     int(span_rows), int(bool(want_lo)))
     if not h:
         return None
     try:

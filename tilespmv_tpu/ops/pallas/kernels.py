@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -175,6 +176,18 @@ WINDOW_BLOCK_VARIANT = {"onehot": "lr"}  # ablation: "const" (WRONG
 #   compare/select surface cost (scripts/ablate_dense.py)
 
 
+def _assert_ablation(arm: str):
+    """Wrong-results ablation arms are timing probes only: refuse to
+    trace them unless the ablation harness has set TILESPMV_ABLATE=1
+    (round-3 advisor: a crashed script that left STREAM_VARIANT mutated
+    would otherwise silently corrupt every subsequent result
+    in-process)."""
+    if os.environ.get("TILESPMV_ABLATE") != "1":
+        raise RuntimeError(
+            f"ablation arm {arm!r} produces WRONG results and is "
+            "disabled; set TILESPMV_ABLATE=1 (scripts/ablate_*.py do)")
+
+
 def _window_block(yc, meta_ref, b, t: int, acc_dtype,
                   interpret: bool = False, exact3: bool = False):
     """Route a chunk result to its (16, ROW_WINDOW) output block.
@@ -185,6 +198,7 @@ def _window_block(yc, meta_ref, b, t: int, acc_dtype,
             yc)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (t, ROW_WINDOW), 1)
     if WINDOW_BLOCK_VARIANT["onehot"] == "const":
+        _assert_ablation("const")
         ohr = jnp.where(iota_r == 0, jnp.asarray(1.0, jnp.float32),
                         jnp.asarray(0.0, jnp.float32))
     else:
@@ -982,11 +996,13 @@ def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
         if xg == "noread":
             # ABLATION ONLY (wrong results): skip the span read and all
             # x staging to isolate their cost share
+            _assert_ablation("noread")
             contribs.append(val_ref[s].astype(acc_dtype))
             continue
         if xg == "readonly":
             # ABLATION ONLY (wrong results): span read kept, gather/
             # select staging skipped — separates the two costs
+            _assert_ablation("readonly")
             span = x2d_ref[pl.ds(sbase[si], SPAN_ROWS), :]
             contribs.append(val_ref[s].astype(acc_dtype)
                             * span[:SUBS].astype(acc_dtype))

@@ -261,8 +261,10 @@ def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
     ~2.3 ns/slab extra staging per additional x chunk. Slab counts per
     candidate are exact (bincount over (window, span, sublane) keys;
     a group's slab count is the max over its 8 sublanes of
-    ceil(count/127)). A wider span must win by >5% to displace the
-    default (the flagship corpus sits near 70% fill where 64 wins)."""
+    ceil(count/127)). A wider span must beat the DEFAULT span's cost by
+    >5% to displace it (the flagship corpus sits near 70% fill where 64
+    wins; comparing against the running best instead would let 256 in
+    via 128 on ~9.75% combined advantage — round-3 advisor finding)."""
     nwin = max(1, -(-m // RW_ROWS))
     # count occupied (window, 1024-col block) cells once; every
     # candidate's (span, sublane) grid is an aggregation of it (a
@@ -275,6 +277,7 @@ def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
                        return_counts=True)
     uw, uq = uk // nq, uk % nq
     best, best_cost = SPAN_CHOICES[0], None
+    cost_default = None
     for r in SPAN_CHOICES:
         g = r // 64
         # (window, span, sublane) key of each occupied cell; counts per
@@ -288,7 +291,10 @@ def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
         np.maximum.at(mx, ginv, c)
         slabs = int((-(-mx // CAP)).sum())
         cost = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * (r // 8))
-        if best_cost is None or cost < best_cost * 0.95:
+        if cost_default is None:
+            cost_default = cost
+        if best_cost is None or (cost < best_cost
+                                 and cost < cost_default * 0.95):
             best, best_cost = r, cost
     return best
 
