@@ -173,7 +173,11 @@ def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
         per_iter_est = max((t_cal - 0.02) / k_cal, 1e-7)
     else:
         per_iter_est = max(t_cal / k_cal, 1e-7)
-    k_big = int(np.clip(0.05 / per_iter_est, iters_per_rep, 1_000_000))
+    # >= 2 always: k_small = k_big // 16 floors at 1, and k_big == 1
+    # would make the (k_big - k_small) divisor zero (seen when a loaded
+    # host pushes per_iter_est past 0.05 s with iters_per_rep == 1)
+    k_big = max(2, int(np.clip(0.05 / per_iter_est, iters_per_rep,
+                               1_000_000)))
 
     # Measure; if the delta we measured is within host jitter or the rep
     # spread is wide, escalate the iteration count and retry rather than
@@ -211,7 +215,7 @@ def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
         if k_big >= k_cap:
             break
         scale = max(2.0, MIN_DELTA_S / max(delta_med, 1e-4))
-        k_big = int(min(k_big * scale, k_cap))
+        k_big = max(2, int(min(k_big * scale, k_cap)))
 
     chip = roofline.detect_chip()
     reliable = (dt > 0 and np.isfinite(dt) and spread <= MAX_SPREAD)

@@ -253,17 +253,60 @@ def _write_out(i, cfirst, yblk, out_ref, prev_ref=None):
         out_ref[...] += yblk
 
 
+def _boundary_gather(cs, idx, t: int):
+    """Lane-gather cs (16, t) at idx (16, 128) — idx values in [0, t);
+    width-128 native gathers with a chunk-select chain past t=128."""
+    if t == 128:
+        return jnp.take_along_axis(cs, idx, axis=1)
+    out = jnp.take_along_axis(cs[:, :128], idx & 127, axis=1)
+    for k in range(1, t // 128):
+        tk = jnp.take_along_axis(cs[:, k * 128:(k + 1) * 128],
+                                 idx & 127, axis=1)
+        out = jnp.where((idx >> 7) == k, tk, out)
+    return out
+
+
+def _prefix_route_block(yc, meta_ref, b, t: int, utri_ref, acc_dtype):
+    """Route a chunk result to its (16, ROW_WINDOW) output block via a
+    lane prefix + boundary differences: lanes are lrow-sorted with lane
+    0 inert (lane_plan._chunk_metadata prefix_route), cs = yc @ UTRI
+    (exact 3-way bf16 split, f32 accumulation), and row r's block is
+    cs[:, rend[r]] - cs[:, rend_prev[r]] with plan-time index planes.
+    Replaces the one-hot compare/select build (~18% of the f32 chunk
+    time, round-3 ablation 489 -> 404 ns/chunk)."""
+    cs = _split_dot3(yc, utri_ref[...]) if acc_dtype == jnp.float32 \
+        else jax.lax.dot(yc, utri_ref[...].astype(acc_dtype),
+                         precision=_HIPREC,
+                         preferred_element_type=acc_dtype)
+    rpp = -(-ROW_WINDOW // t)
+    halves = []
+    for h in range(ROW_WINDOW // 128):
+        row = DENSE_MROWS + (h * 128) // t
+        col = (h * 128) % t
+        ie = meta_ref[b, row, col: col + 128]
+        ip = meta_ref[b, row + rpp, col: col + 128]
+        ge = _boundary_gather(cs, jnp.broadcast_to(ie[None, :],
+                                                   (_B, 128)), t)
+        gs = _boundary_gather(cs, jnp.broadcast_to(ip[None, :],
+                                                   (_B, 128)), t)
+        halves.append(ge - gs)
+    return jnp.concatenate(halves, axis=1)        # (16, ROW_WINDOW)
+
+
 def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
-                  *refs,       # panels, val, meta[, prev...], out[, lo]
+                  *refs,  # panels[, utri], val, meta[, prev...], out[, lo]
                   t: int, k_panels: int, c_batch: int, acc_dtype,
                   df64: bool = False, has_prev: bool = False,
-                  interpret: bool = False):
+                  interpret: bool = False, route: str = "onehot"):
     panel_refs = refs[:k_panels]
     n_out = 2 if df64 else 1
     outs = refs[len(refs) - n_out:]
     prevs = (refs[len(refs) - 2 * n_out: len(refs) - n_out]
              if has_prev else (None,) * n_out)
-    val_ref, meta_ref = refs[k_panels], refs[k_panels + 1]
+    prefix = route == "prefix" and not interpret
+    utri_ref = refs[k_panels] if prefix else None
+    off = k_panels + (1 if prefix else 0)
+    val_ref, meta_ref = refs[off], refs[off + 1]
     out_ref = outs[0]
     i = pl.program_id(0)
     if not df64:
@@ -280,8 +323,12 @@ def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
                 lambda a, j: a + (val_ref[b, j].astype(acc_dtype)
                                   * xg[j, :][None, :]),
                 range(_B), jnp.zeros((_B, t), acc_dtype))
-            blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
-                                      interpret))
+            if prefix:
+                blks.append(_prefix_route_block(yc, meta_ref, b, t,
+                                                utri_ref, acc_dtype))
+            else:
+                blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
+                                          interpret))
         _write_out(i, cfirst, _tree_sum(blks), out_ref, prevs[0])
         return
     # double-f32 (see _df64_mac); both accumulators are routed through
@@ -513,16 +560,23 @@ def dense_class_call(d: DenseChunks, x_panels: jax.Array, n_windows: int,
     another class's y2dT through input_output_aliasing (accumulated
     in-kernel instead of by an XLA add)."""
     n_out = 2 if d.df64 else 1
+    prefix = d.route == "prefix" and not interpret
     kernel = functools.partial(_dense_kernel, t=d.t_lanes,
                                k_panels=d.k_panels, c_batch=d.c_batch,
                                acc_dtype=jnp.float32, df64=d.df64,
                                has_prev=prev is not None,
-                               interpret=interpret)
+                               interpret=interpret, route=d.route)
     vrows = 3 * _B if d.df64 else _B
     tensor_specs = [
         _chunk_spec((vrows, _B, d.t_lanes), lead=d.c_batch),     # val
-        _chunk_spec((DENSE_MROWS, d.t_lanes), lead=d.c_batch),   # meta
+        _chunk_spec((d.meta.shape[1], d.t_lanes), lead=d.c_batch),  # meta
     ]
+    extra_vmem = 1 if prefix else 0
+    utri_args = ()
+    if prefix:
+        # inclusive-prefix operand for the boundary-difference routing
+        utri_args = (jnp.asarray(np.triu(
+            np.ones((d.t_lanes, d.t_lanes), np.float32))),)
     nsteps = d.cw.shape[0]
     oshape = jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                   jnp.float32)
@@ -532,15 +586,16 @@ def dense_class_call(d: DenseChunks, x_panels: jax.Array, n_windows: int,
         return pl.pallas_call(
             kernel,
             grid_spec=_grid_spec(nsteps, d.k_panels, tensor_specs,
+                                 extra_vmem=extra_vmem,
                                  df64=d.df64, n_out=n_out,
                                  with_prev=prev is not None),
             out_shape=(oshape, oshape) if d.df64 else oshape,
             input_output_aliases=(
-                _alias_map(d.k_panels, 0, 2, n_out) if prev is not None
-                else {}),
+                _alias_map(d.k_panels, extra_vmem, 2, n_out)
+                if prev is not None else {}),
             interpret=interpret,
-        )(d.pb, d.cw, d.cfirst, *([x_panels] * d.k_panels), d.val, d.meta,
-          *prev_args)
+        )(d.pb, d.cw, d.cfirst, *([x_panels] * d.k_panels), *utri_args,
+          d.val, d.meta, *prev_args)
 
 
 def sparse_class_call(s: SparseChunks, x_panels: jax.Array,
@@ -829,7 +884,9 @@ def dense_spmm_call(d: DenseChunks, x_panels_k: jax.Array, n_windows: int,
                                interpret=interpret)
     tensor_specs = [
         _chunk_spec((_B, _B, d.t_lanes), lead=d.c_batch),        # val
-        _chunk_spec((DENSE_MROWS, d.t_lanes), lead=d.c_batch),   # meta
+        # meta may carry prefix-route boundary rows; the SpMM kernel
+        # routes through the retained META_LROW one-hot either way
+        _chunk_spec((d.meta.shape[1], d.t_lanes), lead=d.c_batch),
     ]
     nsteps = d.cw.shape[0]
     with _x32_trace():

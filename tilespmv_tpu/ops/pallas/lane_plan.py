@@ -96,6 +96,11 @@ DF64_ROUND_FILL_MIN = 12
 META_XLOC = 0
 META_LROW = 1
 DENSE_MROWS = 2
+# f32 dense-class routing (see DenseChunks.route): "prefix" replaces the
+# per-chunk one-hot build (18% of chunk time, round-3 ablation) with a
+# triangular-MXU lane prefix + boundary-difference gathers over
+# plan-time rend planes (meta rows DENSE_MROWS..DENSE_MROWS+2*rpp)
+DENSE_ROUTE = "prefix"
 
 # band (brick) class: tile-row stripes whose non-COO tiles span at most
 # BAND_MAX_COLS consecutive tile-columns become one dense (16, 16*C)
@@ -135,6 +140,14 @@ class DenseChunks:
     c_batch: int = dataclasses.field(default=1,
                                      metadata=dict(static=True))
     df64: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
+    # "onehot": route each chunk's (16, T) result to the window block by
+    # an exact one-hot matmul. "prefix": lanes are lrow-sorted with lane
+    # 0 reserved inert, the kernel takes an exact-3-split triangular-MXU
+    # prefix along lanes and routes by boundary-difference lane gathers
+    # over plan-time rend planes — the one-hot compare/select surface
+    # (~18% of the f32 chunk time, round-3 ablation) disappears.
+    route: str = dataclasses.field(default="onehot",
                                    metadata=dict(static=True))
 
 
@@ -642,7 +655,8 @@ def _pick_t(trow: np.ndarray, tcol: np.ndarray, tilem: int) -> int:
 
 def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
                     t_lanes: int, k_panels: int, c_batch: int = 1,
-                    unique_rows: bool = False):
+                    unique_rows: bool = False,
+                    prefix_route: bool = False):
     """Cut row-window-local grid *steps* of `c_batch` chunks x `t_lanes`
     tiles over <= `k_panels` distinct x panels per step.
 
@@ -660,7 +674,11 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
     """
     T = t_lanes
     K = k_panels
-    cap = c_batch * T
+    # prefix_route reserves lane 0 of every chunk as an inert zero so
+    # the lane-prefix boundary gather has a true zero column (rend
+    # indices point at it for rows with no tile) — <1% capacity cost
+    lane_cap = T - 1 if prefix_route else T
+    cap = c_batch * lane_cap
     n_windows = max(1, -(-tilem // ROW_WINDOW))
     win_of_tile = trow // ROW_WINDOW
 
@@ -713,10 +731,10 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
                 pb_list.append(np.concatenate(
                     [pans, np.full(K - pans.size, pans[0], np.int64)]))
                 slot = np.searchsorted(pans, step_pan)
-                # split into c_batch chunks of T
+                # split into c_batch chunks of lane_cap real tiles
                 for cbi in range(c_batch):
-                    lane = step_tiles[cbi * T:(cbi + 1) * T]
-                    sl = slot[cbi * T:(cbi + 1) * T]
+                    lane = step_tiles[cbi * lane_cap:(cbi + 1) * lane_cap]
+                    sl = slot[cbi * lane_cap:(cbi + 1) * lane_cap]
                     chunks_src.append(np.concatenate(
                         [lane, np.full(T - lane.size, -1, np.int64)]))
                     slot_all.append(np.concatenate(
@@ -751,20 +769,46 @@ def _chunk_metadata(trow: np.ndarray, tcol: np.ndarray, tilem: int,
     xloc = (slot * PANEL_TC + (tc & (PANEL_TC - 1))).astype(np.int32)
     xloc = np.where(valid, xloc, -1).astype(np.int32)
 
-    return dict(src=src, valid=valid, xloc=xloc, lrow=lrow, cw=cw_steps,
-                cfirst=cfirst, pb=pb.reshape(-1),
-                n_windows=n_windows, nchunks=nchunks)
+    md = dict(src=src, valid=valid, xloc=xloc, lrow=lrow, cw=cw_steps,
+              cfirst=cfirst, pb=pb.reshape(-1),
+              n_windows=n_windows, nchunks=nchunks)
+    if prefix_route:
+        # sort each chunk's lanes inerts-first then by lrow (reordering
+        # lanes is free: panels/xloc/val are all per-lane), and build the
+        # boundary planes: rend[r] = lane of the LAST tile with
+        # lrow <= r (an inert front lane when there is none), so the
+        # window row block is the boundary difference
+        # prefix[rend[r]] - prefix[rend[r-1]] of the chunk's lane prefix
+        key = np.where(valid, lrow, -1)
+        order = np.argsort(key, axis=1, kind="stable")
+        for f in ("src", "valid", "xloc", "lrow"):
+            md[f] = np.take_along_axis(md[f], order, axis=1)
+        ni = (T - md["valid"].sum(axis=1)).astype(np.int64)   # >= 1
+        cnt = np.zeros((nchunks, ROW_WINDOW), np.int64)
+        ch_of = np.repeat(np.arange(nchunks), md["valid"].sum(axis=1))
+        np.add.at(cnt, (ch_of, md["lrow"][md["valid"]]), 1)
+        rend = ((ni - 1)[:, None] + np.cumsum(cnt, axis=1)).astype(
+            np.int32)
+        md["rend"] = rend
+        md["rend_prev"] = np.concatenate(
+            [(ni - 1)[:, None].astype(np.int32), rend[:, :-1]], axis=1)
+    return md
 
 
 def empty_dense_class(n_windows: int, t_lanes: int,
                       compute_dtype=jnp.float32,
-                      k_panels: int = 1) -> DenseChunks:
+                      k_panels: int = 1,
+                      route: str = "onehot") -> DenseChunks:
     """A class of all-inert chunks, one per window (initializes the class
     output to zero; used to unify shard plans for SPMD)."""
     cdt = np.dtype(compute_dtype)
     df64 = cdt == np.dtype(np.float64)
-    meta = np.zeros((n_windows, DENSE_MROWS, t_lanes), np.int32)
+    rpp = -(-ROW_WINDOW // t_lanes)
+    mrows = DENSE_MROWS + (2 * rpp if route == "prefix" else 0)
+    meta = np.zeros((n_windows, mrows, t_lanes), np.int32)
     meta[:, META_XLOC] = -1
+    # prefix route: all lanes inert -> every boundary index points at
+    # lane 0 (prefix[0] - prefix[0] == 0 for every row)
     return DenseChunks(
         val=jnp.zeros((n_windows, 48 if df64 else 16, 16, t_lanes),
                       jnp.float32 if df64 else cdt),
@@ -772,7 +816,7 @@ def empty_dense_class(n_windows: int, t_lanes: int,
         pb=jnp.zeros(n_windows * k_panels, jnp.int32),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
-        t_lanes=t_lanes, k_panels=k_panels, df64=df64)
+        t_lanes=t_lanes, k_panels=k_panels, df64=df64, route=route)
 
 
 def empty_sparse_class(n_windows: int, width: int = 16,
@@ -1092,11 +1136,16 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             cb = 1 if force_t else _pick_cb(dtr, dtc, tm.tilem, t_lanes,
                                             kp, chunk_bytes)
             kp = 4 if force_t else _pick_k(dtr, dtc, cb * t_lanes)
+        df64 = cdt == np.dtype(np.float64)
+        # f32 dense routes by prefix + boundary gather (DENSE_ROUTE);
+        # df64 keeps the exact-3 one-hot (its compensated accumulators
+        # cannot ride a plain prefix difference)
+        route = DENSE_ROUTE if not df64 else "onehot"
         md = _chunk_metadata(dtr, dtc, tm.tilem, t_lanes, kp, cb,
-                             unique_rows=cdt == np.dtype(np.float64))
+                             unique_rows=df64,
+                             prefix_route=route == "prefix")
         valid = md["valid"]
         safe = np.where(valid, md["src"], 0)
-        df64 = cdt == np.dtype(np.float64)
         vt = blocks[safe]                   # (nchunks, T, b_i, b_j) f64
         vt[~valid] = 0.0
         # j-major layout (nchunks, b_j, b_i, T): the kernel's j-th FMA step
@@ -1111,14 +1160,23 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             val[:, 2::3] = vl
         else:
             val = vt.astype(cdt)
-        meta = np.zeros((md["nchunks"], DENSE_MROWS, t_lanes), np.int32)
+        rpp = -(-ROW_WINDOW // t_lanes)   # meta rows per boundary plane
+        mrows = DENSE_MROWS + (2 * rpp if route == "prefix" else 0)
+        meta = np.zeros((md["nchunks"], mrows, t_lanes), np.int32)
         meta[:, META_XLOC] = md["xloc"]
         meta[:, META_LROW] = md["lrow"]
+        if route == "prefix":
+            for rr in range(rpp):
+                seg = slice(rr * t_lanes, (rr + 1) * t_lanes)
+                w = md["rend"][:, seg].shape[1]
+                meta[:, DENSE_MROWS + rr, :w] = md["rend"][:, seg]
+                meta[:, DENSE_MROWS + rpp + rr, :w] = \
+                    md["rend_prev"][:, seg]
         dense = DenseChunks(
             val=jnp.asarray(val), meta=jnp.asarray(meta),
             pb=jnp.asarray(md["pb"]), cw=jnp.asarray(md["cw"]),
             cfirst=jnp.asarray(md["cfirst"]), t_lanes=t_lanes,
-            k_panels=kp, c_batch=cb, df64=df64)
+            k_panels=kp, c_batch=cb, df64=df64, route=route)
         n_windows = max(n_windows, md["n_windows"])
 
     sparses = []

@@ -117,6 +117,10 @@ class StreamChunks:
     #                cluster into skippable steps)
     val_lo: Any = None  # (nslabs, 8, 128) f32 LO plane (df64 only):
     #               val + val_lo == the f64 value exactly
+    sbase2: Any = None  # (nslabs,) int32 — dual-span classes only: the
+    #               slab's SECOND superspan base (== sbase on slabs
+    #               that carry one span); entries with vidx bit 13 set
+    #               read their x from this span
 
     s_batch: int = dataclasses.field(default=4,
                                      metadata=dict(static=True))
@@ -126,6 +130,17 @@ class StreamChunks:
                                    metadata=dict(static=True))
     span_rows: int = dataclasses.field(default=SPAN_ROWS,
                                        metadata=dict(static=True))
+    # dual-span slab geometry (round-4): a slab may carry entries of a
+    # second (window, superspan) group — both groups use the straight
+    # block->sublane map and share the 127-lane sublane capacity,
+    # entries merged row-sorted so runs and the (src+tgt)%8 coloring
+    # are unchanged. Kills the group-tail quantization that capped
+    # powerlaw_large at 68% slab fill (a ~730-entry group is 0.72
+    # slabs). Costs a second span read + 8 more staging gathers/slab,
+    # so the builder enables it per class by cost model
+    # (pick_geometry).
+    dual: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
 
     @property
     def nslabs(self) -> int:

@@ -230,14 +230,16 @@ def _unify_lane_plans(plans: list) -> list:
         )
         if is_dense:
             return DenseChunks(t_lanes=t, k_panels=c.k_panels,
-                               df64=c.df64, **kw)
+                               df64=c.df64, route=c.route, **kw)
         return SparseChunks(width=c.width, t_lanes=t,
                             k_panels=c.k_panels, **kw)
 
+    route_dense = next((p.dense.route for p in plans
+                        if p.dense is not None), "onehot")
     denses = []
     for p in plans:
         d = p.dense if p.dense is not None else empty_dense_class(
-            n_windows, t_dense, cdt, k_panels=4)
+            n_windows, t_dense, cdt, k_panels=4, route=route_dense)
         denses.append(d)
     nd = max(d.val.shape[0] for d in denses)
     denses = [pad_class(d, nd, n_windows, True) for d in denses]
