@@ -46,6 +46,7 @@ struct StreamPlan {
     std::vector<int16_t> vidx;    // nslabs*8*128
     std::vector<int8_t> planes;   // nslabs*rounds*24*128 (built at MAXR)
     std::vector<int32_t> sbase;   // nslabs
+    std::vector<int32_t> sbase2;  // nslabs (dual-span builds only)
     std::vector<int32_t> cw;      // nsteps
     std::vector<int32_t> cfirst;  // nsteps
     std::vector<uint8_t> used;    // nslabs*128 color masks
@@ -63,7 +64,7 @@ extern "C" {
 
 void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
                const double* vals, int64_t m, int32_t s_batch_req,
-               int32_t span_rows, int32_t want_lo) {
+               int32_t span_rows, int32_t want_lo, int32_t dual) {
     auto* P = new StreamPlan();
     const int64_t nwin = std::max<int64_t>(1, (m + RW_ROWS - 1) / RW_ROWS);
     P->nwin = nwin;
@@ -91,9 +92,67 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
         return a < b;
     });
 
-    // --- 2. count slabs per window (max over sublanes per group) ---
+    // --- 2. count slabs per window: mono = max over sublanes per
+    // group; dual = the sequential dual-span greedy (an open slab
+    // carries the previous group's leftover as span A and takes
+    // min(count, free) of the next group as span B — see
+    // stream_plan._build_dual, kept in exact lockstep) ---
     std::vector<int64_t> slabs_per_win(nwin, 0);
-    {
+    std::vector<int64_t> g_take, g_shared, g_base;  // dual: per group
+    std::vector<int64_t> raw_win_v, raw_sA, raw_sB;  // dual: per raw slab
+    if (dual) {
+        int64_t i = 0;
+        int64_t L[SUBS] = {0};
+        int64_t open_id = -1, prev_w = -1;
+        while (i < nz) {
+            const int64_t w = g_row[ord[i]] >> 10;
+            const int64_t p = g_col[ord[i]] >> sh;
+            int64_t j = i;
+            int64_t c[SUBS] = {0};
+            while (j < nz && (g_row[ord[j]] >> 10) == w
+                   && (g_col[ord[j]] >> sh) == p) {
+                ++c[(g_col[ord[j]] >> (sh - 3)) & 7];
+                ++j;
+            }
+            if (w != prev_w) {
+                open_id = -1;
+                std::fill(L, L + SUBS, (int64_t)0);
+                prev_w = w;
+            }
+            int64_t take[SUBS] = {0};
+            int64_t shared = -1;
+            if (open_id >= 0) {
+                shared = open_id;
+                for (int s = 0; s < SUBS; ++s) {
+                    take[s] = std::min(c[s], CAP - L[s]);
+                    c[s] -= take[s];
+                }
+                raw_sB[open_id] = p * R_;
+                open_id = -1;
+                std::fill(L, L + SUBS, (int64_t)0);
+            }
+            const int64_t mx = *std::max_element(c, c + SUBS);
+            const int64_t kf =
+                mx ? std::max<int64_t>(0, (mx + CAP - 1) / CAP - 1) : 0;
+            bool any_left = false;
+            for (int s = 0; s < SUBS; ++s) {
+                L[s] = std::max<int64_t>(0, c[s] - kf * CAP);
+                if (L[s]) any_left = true;
+            }
+            const int64_t nfresh = kf + (any_left ? 1 : 0);
+            g_base.push_back((int64_t)raw_win_v.size());
+            for (int64_t k = 0; k < nfresh; ++k) {
+                raw_win_v.push_back(w);
+                raw_sA.push_back(p * R_);
+                raw_sB.push_back(p * R_);
+            }
+            open_id = any_left ? (int64_t)raw_win_v.size() - 1 : -1;
+            for (int s = 0; s < SUBS; ++s) g_take.push_back(take[s]);
+            g_shared.push_back(shared);
+            i = j;
+        }
+        for (int64_t t : raw_win_v) ++slabs_per_win[t];
+    } else {
         int64_t i = 0;
         while (i < nz) {
             const int64_t w = g_row[ord[i]] >> 10;
@@ -113,6 +172,7 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
             i = j;
         }
     }
+    std::vector<int64_t> raw_cnt(slabs_per_win);  // pre-padding counts
     int32_t S = s_batch_req;
     std::vector<int64_t> slab_start(nwin + 1, 0);
     {
@@ -196,6 +256,121 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
         return P->planes[(slab * MAXR * 3 * SUBS + row) * LANES + j];
     };
     int32_t max_used = 0;
+    if (dual) {
+        P->sbase2.assign(nslabs, 0);
+        // raw (window-major sequential) -> padded slab id
+        std::vector<int64_t> raw_start(nwin + 1, 0);
+        for (int64_t w = 0; w < nwin; ++w)
+            raw_start[w + 1] = raw_start[w] + raw_cnt[w];
+        auto raw2pad = [&](int64_t rid) {
+            const int64_t w = raw_win_v[rid];
+            return slab_start[w] + (rid - raw_start[w]);
+        };
+        const int64_t nraw = (int64_t)raw_win_v.size();
+        for (int64_t rid = 0; rid < nraw; ++rid) {
+            const int64_t pid = raw2pad(rid);
+            P->sbase[pid] = (int32_t)raw_sA[rid];
+            P->sbase2[pid] = (int32_t)raw_sB[rid];
+        }
+        // per-entry slab + span-B bit via a second group walk (ranks
+        // within (group, sublane) are implicit in the sort order)
+        std::vector<int32_t> eslab(nz);
+        std::vector<uint8_t> eb(nz);
+        {
+            int64_t i = 0, g = 0;
+            while (i < nz) {
+                const int64_t w = g_row[ord[i]] >> 10;
+                const int64_t p = g_col[ord[i]] >> sh;
+                int64_t j = i;
+                while (j < nz && (g_row[ord[j]] >> 10) == w
+                       && (g_col[ord[j]] >> sh) == p) ++j;
+                int64_t a = i;
+                while (a < j) {
+                    const int64_t sub = (g_col[ord[a]] >> (sh - 3)) & 7;
+                    int64_t b = a;
+                    while (b < j
+                           && ((g_col[ord[b]] >> (sh - 3)) & 7) == sub)
+                        ++b;
+                    const int64_t tk = g_take[g * SUBS + sub];
+                    for (int64_t e = a; e < b; ++e) {
+                        const int64_t rank = e - a;
+                        if (rank < tk) {
+                            eslab[e] = (int32_t)raw2pad(g_shared[g]);
+                            eb[e] = 1;
+                        } else {
+                            const int64_t rr = rank - tk;
+                            eslab[e] = (int32_t)raw2pad(
+                                g_base[g] + rr / CAP);
+                            eb[e] = 0;
+                        }
+                    }
+                    a = b;
+                }
+                ++g;
+                i = j;
+            }
+        }
+        // order entries by (slab, sublane, row); stable tie-break on
+        // the primary sort position so shared-slab merges match the
+        // NumPy builder exactly
+        std::vector<int64_t> ord2(nz);
+        std::iota(ord2.begin(), ord2.end(), 0);
+        std::sort(ord2.begin(), ord2.end(), [&](int64_t x, int64_t y) {
+            if (eslab[x] != eslab[y]) return eslab[x] < eslab[y];
+            const int64_t sx = (g_col[ord[x]] >> (sh - 3)) & 7,
+                          sy = (g_col[ord[y]] >> (sh - 3)) & 7;
+            if (sx != sy) return sx < sy;
+            if (g_row[ord[x]] != g_row[ord[y]])
+                return g_row[ord[x]] < g_row[ord[y]];
+            return x < y;
+        });
+        // fill values + runs per (slab, sublane) segment
+        int64_t a = 0;
+        while (a < nz) {
+            const int64_t slab = eslab[ord2[a]];
+            const int64_t sub = (g_col[ord[ord2[a]]] >> (sh - 3)) & 7;
+            int64_t b = a;
+            while (b < nz && eslab[ord2[b]] == slab
+                   && ((g_col[ord[ord2[b]]] >> (sh - 3)) & 7) == sub)
+                ++b;
+            const int64_t w = g_row[ord[ord2[a]]] >> 10;
+            int64_t k = a;
+            while (k < b) {
+                const int64_t row = g_row[ord[ord2[k]]];
+                int64_t kk = k;
+                while (kk < b && g_row[ord[ord2[kk]]] == row) ++kk;
+                const int64_t lane_s = (k - a) + 1;
+                const int64_t lane_e = (kk - a);
+                for (int64_t e = k; e < kk; ++e) {
+                    const int64_t ee = ord[ord2[e]];
+                    const int64_t lane = (e - a) + 1;
+                    const int64_t idx = (slab * SUBS + sub) * LANES
+                                        + lane;
+                    const double vv = vals[ee];
+                    const float hi = (float)vv;
+                    P->val[idx] = hi;
+                    if (want_lo)
+                        P->val_lo[idx] = (float)(vv - (double)hi);
+                    P->vidx[idx] = (int16_t)((g_col[ee] & vmask)
+                                             | ((int16_t)eb[ord2[e]]
+                                                << 13));
+                }
+                const int64_t rloc = row - w * RW_ROWS;
+                const int64_t tgt = rloc >> 7;
+                const int64_t jj = rloc & (LANES - 1);
+                const uint8_t color = (uint8_t)((sub + tgt) % SUBS);
+                P->used[slab * LANES + jj] |= (uint8_t)(1u << color);
+                all_runs.push_back(Run{(int32_t)slab, (uint8_t)sub,
+                                       (uint8_t)tgt, (uint8_t)jj,
+                                       (uint8_t)lane_s,
+                                       (uint8_t)lane_e, color});
+                k = kk;
+            }
+            a = b;
+        }
+        goto rounds_pass;
+    }
+    {
     std::vector<int64_t> next_slab(nwin, 0);
     int64_t i = 0;
     while (i < nz) {
@@ -258,11 +433,13 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
         next_slab[w] += maxk;
         i = j;
     }
+    }
 
     // --- 4. rounds: rank each run's color within its cell's FINAL
     // color mask (a compacted proper edge coloring), fill the
     // [rend | rstart | rsrc] planes, then default-route inert targets
     // at a source sublane with zero boundary difference ---
+rounds_pass:
     std::vector<uint8_t> busy(nslabs * MAXR * LANES, 0);
     for (const Run& rn : all_runs) {
         const uint8_t um = P->used[(int64_t)rn.slab * LANES + rn.jj];
@@ -326,6 +503,11 @@ void sp_export(void* h, float* val, int16_t* vidx, int8_t* planes,
 void sp_export_vlo(void* h, float* lo) {
     auto* P = (StreamPlan*)h;
     std::memcpy(lo, P->val_lo.data(), P->val_lo.size() * 4);
+}
+
+void sp_export_sb2(void* h, int32_t* sb2) {
+    auto* P = (StreamPlan*)h;
+    std::memcpy(sb2, P->sbase2.data(), P->sbase2.size() * 4);
 }
 
 void sp_release(void* h) { delete (StreamPlan*)h; }

@@ -143,3 +143,82 @@ def test_matvec_golden():
     csr = csr_from_coo(30, 20, rows, cols, vals)
     x = (np.arange(20) % 10).astype(np.float64)
     np.testing.assert_allclose(csr.matvec(x), csr.to_dense() @ x, rtol=1e-14)
+
+
+def test_save_mtx_pattern_roundtrip(tmp_path):
+    # reference mmio.h:686-780 writer set: pattern drops values, the
+    # loader reads 1.0 back
+    rng = np.random.default_rng(5)
+    rows = rng.integers(0, 40, 150)
+    cols = rng.integers(0, 40, 150)
+    csr = csr_from_coo(40, 40, rows, cols, np.ones(150))
+    p = tmp_path / "p.mtx"
+    save_mtx(str(p), csr, field="pattern")
+    assert "pattern" in open(p).readline()
+    back = load_mtx(str(p))
+    np.testing.assert_array_equal(back.to_dense() != 0,
+                                  csr.to_dense() != 0)
+    np.testing.assert_allclose(back.data, 1.0)
+
+
+def test_save_mtx_integer_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    rows = rng.integers(0, 30, 120)
+    cols = rng.integers(0, 30, 120)
+    vals = rng.integers(-9, 10, 120).astype(np.float64)
+    csr = csr_from_coo(30, 30, rows, cols, vals)
+    p = tmp_path / "i.mtx"
+    save_mtx(str(p), csr, field="integer")
+    back = load_mtx(str(p))
+    np.testing.assert_allclose(back.to_dense(), csr.to_dense(),
+                               rtol=1e-15)
+    import pytest as _pytest
+    csr.data[0] = 0.5
+    with _pytest.raises(Exception):
+        save_mtx(str(p), csr, field="integer")
+
+
+def test_save_mtx_symmetric_roundtrip(tmp_path):
+    # symmetric writer keeps the lower triangle; the loader's expansion
+    # reconstructs the mirror
+    rng = np.random.default_rng(7)
+    rows = rng.integers(0, 25, 100)
+    cols = rng.integers(0, 25, 100)
+    vals = rng.standard_normal(100)
+    a = csr_from_coo(25, 25, np.concatenate([rows, cols]),
+                     np.concatenate([cols, rows]),
+                     np.concatenate([vals, vals]))
+    p = tmp_path / "s.mtx"
+    save_mtx(str(p), a, field="real", symmetry="symmetric")
+    hdr = open(p).readline()
+    assert "symmetric" in hdr
+    back = load_mtx(str(p))
+    # diagonal entries were summed in `a` (i==j duplicated in the coo
+    # above), so compare dense forms directly
+    np.testing.assert_allclose(back.to_dense(), a.to_dense(),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_cli_sweep_dir(tmp_path):
+    # --sweep-dir: drop-in real-corpus mode over a directory of .mtx
+    import subprocess
+    import sys as _sys
+    import shutil
+    import os as _os
+    fixtures = _os.path.join(_os.path.dirname(__file__), "fixtures")
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for f in ("nist_example.mtx", "bcsstk_style_sym.mtx"):
+        shutil.copy(_os.path.join(fixtures, f), d / f)
+    csv = tmp_path / "sweep.csv"
+    env = dict(_os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=_os.path.dirname(_os.path.dirname(__file__)))
+    r = subprocess.run(
+        [_sys.executable, "-m", "tilespmv_tpu.cli",
+         "--sweep-dir", str(d), "--csv", str(csv),
+         "-d", "cpu", "--iters", "2", "--reps", "1", "--warmup", "0"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "2/2 ok" in r.stdout
+    lines = open(csv).read().strip().splitlines()
+    assert len(lines) == 2   # one reference-schema row per matrix

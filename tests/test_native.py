@@ -147,3 +147,31 @@ def test_native_stream_plan_df64_matches_numpy():
                                   np.asarray(b.val_lo))
     np.testing.assert_array_equal(np.asarray(a.planes),
                                   np.asarray(b.planes))
+
+
+def test_native_dual_stream_plan_equivalence():
+    """The C++ dual-span packing must stay in exact lockstep with the
+    NumPy reference builder (byte-identical planes/sbase2)."""
+    import numpy as np
+    from tilespmv_tpu.ops.pallas.stream_plan import build_stream_chunks
+    rng = np.random.default_rng(99)
+    m, nz = 16 * 1024, 60_000
+    r = rng.integers(0, m, nz).astype(np.int64)
+    c = rng.integers(0, m, nz).astype(np.int64)
+    _, ix = np.unique(r * m + c, return_index=True)
+    r, c = r[ix], c[ix]
+    v = rng.standard_normal(r.size)
+    for cdt in (np.float32, np.float64):
+        a, _ = build_stream_chunks(r, c, v, m, compute_dtype=cdt,
+                                   span_rows=64, dual=True,
+                                   use_native=False, device=False)
+        b, _ = build_stream_chunks(r, c, v, m, compute_dtype=cdt,
+                                   span_rows=64, dual=True,
+                                   use_native=True, device=False)
+        for f in ("val", "vidx", "planes", "sbase", "sbase2", "cw",
+                  "cfirst", "sactive", "val_lo"):
+            fa, fb = getattr(a, f), getattr(b, f)
+            if fa is None and fb is None:
+                continue
+            assert np.array_equal(np.asarray(fa), np.asarray(fb)), f
+        assert a.s_batch == b.s_batch and a.rounds_ == b.rounds_

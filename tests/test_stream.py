@@ -191,7 +191,12 @@ def test_adaptive_span_rows_very_sparse():
         [[0], np.cumsum(np.bincount(row, minlength=m))]).astype(np.int64)
     csr = CSRMatrix((m, n), indptr, col.astype(np.int64), val)
     op = TileSpMV(csr, backend="pallas")
-    assert op.plan.stream is not None and op.plan.stream.span_rows > 64
+    st = op.plan.stream
+    # hypersparse populations must leave the default geometry by ONE of
+    # the two escape hatches: a widened superspan (round 3) or the
+    # dual-span packing (round 4 — cheaper here: merging arbitrary
+    # groups at span 64 stages half the chunks of a 256-row span)
+    assert st is not None and (st.span_rows > 64 or st.dual)
     x = rng.standard_normal(n).astype(np.float32)
     y = np.asarray(op(x))
     ref = np.zeros(m)
@@ -221,7 +226,7 @@ def test_adaptive_span_rows_df64():
     op = TileSpMV(csr, compute_dtype=jnp.float64)
     assert op.backend == "pallas"
     assert op.plan.stream is not None and op.plan.stream.df64
-    assert op.plan.stream.span_rows > 64
+    assert op.plan.stream.span_rows > 64 or op.plan.stream.dual
     x = rng.standard_normal(n)
     y = np.asarray(op(x))
     ref = np.zeros(m)
@@ -262,3 +267,102 @@ def test_split_composes_with_wide_span():
     ref = np.zeros(m)
     np.add.at(ref, r, v * x[c].astype(np.float64))
     assert not (np.abs(y - ref) > 0.01 * np.abs(ref) + 1e-4).any()
+
+
+# --- dual-span slab geometry (round 4) ---
+
+def _golden(m, row, col, val, x):
+    want = np.zeros(m, np.float64)
+    np.add.at(want, row, val * x[col].astype(np.float64))
+    return want
+
+
+def _call_stream(sc, x, m, interpret=True):
+    from tilespmv_tpu.ops.pallas.stream_plan import MAX_SPAN_ROWS
+    nw2 = max(1, -(-m // RW_ROWS))
+    rows = -(-x.shape[0] // 128) + MAX_SPAN_ROWS
+    xpad = np.zeros(rows * 128, x.dtype)
+    xpad[: x.shape[0]] = x
+    ys = stream_class_call(sc, jnp.asarray(xpad.reshape(-1, 128)), nw2,
+                           interpret=interpret)
+    if sc.df64:
+        y = (np.asarray(ys[0], np.float64)
+             + np.asarray(ys[1], np.float64))
+    else:
+        y = np.asarray(ys, np.float64)
+    return (y.reshape(8, nw2, 128).transpose(1, 0, 2).reshape(-1)[:m])
+
+
+@pytest.mark.parametrize("dtype,tol", [(np.float32, 1e-5),
+                                       (np.float64, 1e-12)])
+def test_dual_span_matches_golden(dtype, tol):
+    # many ~0.3-0.7-slab (window, span) groups: the dual packing's
+    # target population; check correctness + that slabs actually merge
+    rng = np.random.default_rng(11)
+    m = n = 16 * 1024
+    nnz = 100_000
+    row = rng.integers(0, m, nnz).astype(np.int64)
+    col = rng.integers(0, n, nnz).astype(np.int64)
+    key = row * n + col
+    _, ix = np.unique(key, return_index=True)
+    row, col = row[ix], col[ix]
+    val = rng.standard_normal(row.size)
+    x = rng.standard_normal(n).astype(dtype)
+    mono, _ = build_stream_chunks(row, col, val, m, compute_dtype=dtype,
+                                  span_rows=64, dual=False)
+    dual, _ = build_stream_chunks(row, col, val, m, compute_dtype=dtype,
+                                  span_rows=64, dual=True,
+                                  use_native=False)
+    assert dual.dual and dual.sbase2 is not None
+    assert dual.nslabs < mono.nslabs
+    vB = np.asarray(dual.vidx).astype(np.int32)
+    assert int((vB >> 13 & 1).sum()) > 0     # shared slabs exist
+    want = _golden(m, row, col, val, x)
+    for sc in (mono, dual):
+        got = _call_stream(sc, x, m)
+        err = np.max(np.abs(got - want) / (1.0 + np.abs(want)))
+        assert err < tol, (sc.dual, err)
+
+
+def test_dual_span_split_composes():
+    # the two-rate (base, heavy) split must carry sbase2/dual through
+    from tilespmv_tpu.ops.pallas.stream_plan import split_stream_chunks
+    rng = np.random.default_rng(12)
+    m = n = 8 * 1024
+    heavy_w = rng.integers(0, 1024, 60_000).astype(np.int64)
+    light = rng.integers(1024, m, 4_000).astype(np.int64)
+    row = np.concatenate([heavy_w, light])
+    col = rng.integers(0, n, row.size).astype(np.int64)
+    key = row * n + col
+    _, ix = np.unique(key, return_index=True)
+    row, col = row[ix], col[ix]
+    val = rng.standard_normal(row.size)
+    x = rng.standard_normal(n).astype(np.float32)
+    st, _ = build_stream_chunks(row, col, val, m, span_rows=64,
+                                dual=True, use_native=False,
+                                device=False, stack=False)
+    base, heavy = split_stream_chunks(st, raw_planes=True)
+    assert base.dual and base.sbase2 is not None
+    want = _golden(m, row, col, val, x)
+    got = _call_stream(base, x, m)
+    if heavy is not None:
+        assert heavy.dual and heavy.sbase2 is not None
+        got2 = _call_stream(heavy, x, m)
+        # disjoint window sets: heavy overwrites its own windows
+        hw = np.zeros(-(-m // RW_ROWS), bool)
+        hw[np.asarray(heavy.cw)] = True
+        wmask = hw[np.arange(m) // RW_ROWS]
+        got = np.where(wmask, got2, got)
+    err = np.max(np.abs(got - want) / (1.0 + np.abs(want)))
+    assert err < 1e-5, err
+
+
+def test_pick_geometry_defaults():
+    from tilespmv_tpu.ops.pallas.stream_plan import pick_geometry
+    rng = np.random.default_rng(13)
+    # dense-ish windows with big groups: mono at the default span
+    m = n = 4096
+    row = rng.integers(0, m, 120_000).astype(np.int64)
+    col = rng.integers(0, n, 120_000).astype(np.int64)
+    span, dual = pick_geometry(row, col, m)
+    assert span == 64 and dual is False

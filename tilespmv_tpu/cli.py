@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -26,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU tiled SpMV benchmark/validation driver")
     p.add_argument("matrix", nargs="?",
                    help=".mtx path or synthetic corpus name")
+    p.add_argument("--sweep-dir", default=None, metavar="DIR",
+                   help="benchmark every .mtx/.mtx.gz under DIR "
+                        "(recursive) into the results CSV — the "
+                        "drop-in real-corpus mode (reference "
+                        "bench0.sh over the SuiteSparse list)")
     p.add_argument("--sweep", action="store_true",
                    help="benchmark the whole synthetic corpus")
     p.add_argument("--scaling", action="store_true",
@@ -109,6 +115,41 @@ def main(argv=None) -> int:
         sweep(config=config, backend=args.backend, compute_dtype=dtype,
               csv_path=args.csv or None)
         return 0
+
+    if args.sweep_dir:
+        import glob
+        import traceback
+        files = sorted(
+            glob.glob(os.path.join(args.sweep_dir, "**", "*.mtx"),
+                      recursive=True)
+            + glob.glob(os.path.join(args.sweep_dir, "**", "*.mtx.gz"),
+                        recursive=True))
+        if not files:
+            print(f"error: no .mtx files under {args.sweep_dir}",
+                  file=sys.stderr)
+            return 2
+        print(f"sweeping {len(files)} matrices under {args.sweep_dir}")
+        failures = 0
+        for path in files:
+            try:
+                csr = _load(path)
+                op = TileSpMV(csr, config=config, compute_dtype=dtype,
+                              backend=args.backend)
+                res = benchmark_op(
+                    op, name=os.path.basename(path),
+                    iters_per_rep=args.iters, timed_reps=args.reps,
+                    warmup=args.warmup)
+                print(f"{res.name}: ms={res.ms:.4f} "
+                      f"GFLOPS={res.gflops:.2f} "
+                      f"reliable={res.reliable}")
+                if args.csv:
+                    append_results_csv(args.csv, res)
+            except Exception:
+                failures += 1
+                print(f"FAILED: {path}", file=sys.stderr)
+                traceback.print_exc()
+        print(f"sweep-dir done: {len(files) - failures}/{len(files)} ok")
+        return 0 if failures == 0 else 1
 
     if args.device_check:
         # reference main.cu:186-197's gate, run per corpus archetype on

@@ -224,11 +224,12 @@ def _init_stream_symbols(lib) -> bool:
         lib.sp_build.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ]
         lib.sp_scalars.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.sp_export.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
         lib.sp_export_vlo.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.sp_export_sb2.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.sp_release.argtypes = [ctypes.c_void_p]
         return True
     except AttributeError:
@@ -238,12 +239,15 @@ def _init_stream_symbols(lib) -> bool:
 def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
                 m: int, s_batch: Optional[int],
                 want_lo: bool = False,
-                span_rows: int = 64) -> Optional[dict]:
+                span_rows: int = 64,
+                dual: bool = False) -> Optional[dict]:
     """Run the native stream-plan builder (native/streamplan.cpp);
     returns the raw plan arrays or None when unavailable. `want_lo`
     makes the builder compute and export the double-f32 LO value plane
     (skipped entirely for f32 builds — it would cost an extra
-    nslabs*8*128 float buffer and a per-entry f64 subtraction)."""
+    nslabs*8*128 float buffer and a per-entry f64 subtraction).
+    `dual` builds the dual-span slab packing (sbase2 exported; exact
+    lockstep with stream_plan._build_dual)."""
     lib = get_lib()
     if lib is None or not _init_stream_symbols(lib):
         return None
@@ -253,7 +257,8 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
     nz = g_row.shape[0]
     h = lib.sp_build(nz, g_row.ctypes.data, g_col.ctypes.data,
                      val64.ctypes.data, m, int(s_batch or 0),
-                     int(span_rows), int(bool(want_lo)))
+                     int(span_rows), int(bool(want_lo)),
+                     int(bool(dual)))
     if not h:
         return None
     try:
@@ -277,6 +282,9 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
         if want_lo:
             out["val_lo"] = np.zeros((nslabs, 8, 128), np.float32)
             lib.sp_export_vlo(h, out["val_lo"].ctypes.data)
+        if dual:
+            out["sbase2"] = np.zeros(nslabs, np.int32)
+            lib.sp_export_sb2(h, out["sbase2"].ctypes.data)
         return out
     finally:
         lib.sp_release(h)

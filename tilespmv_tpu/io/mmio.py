@@ -229,16 +229,48 @@ def load_mtx(path_or_file: Union[str, "_io.TextIOBase"],
                         is_symmetric=sym != "general")
 
 
-def save_mtx(path: str, csr: CSRMatrix) -> None:
-    """Write a general real coordinate .mtx (reference mmio.h writers).
-    Bulk-formatted (np.savetxt) — a per-entry Python loop is unusable for
-    writing large matrices."""
+def save_mtx(path: str, csr: CSRMatrix, field: str = "real",
+             symmetry: str = "general") -> None:
+    """Write a coordinate .mtx — the full writer set of the reference
+    (mmio.h:26-28,142 banner/size writers + the crd writers at
+    :686-780): field real / integer / pattern, symmetry general /
+    symmetric. Bulk-formatted (np.savetxt) — a per-entry Python loop is
+    unusable for writing large matrices.
+
+    * `pattern` drops the value column (the loader reads 1.0 back).
+    * `integer` writes values as integers (they must be integral).
+    * `symmetric` writes only the lower triangle (entry (i, j) with
+      j <= i); the matrix must actually be symmetric — the loader's
+      expansion reconstructs the mirror on read.
+    """
+    if field not in ("real", "integer", "pattern"):
+        raise MatrixMarketError(f"cannot write field {field!r}")
+    if symmetry not in ("general", "symmetric"):
+        raise MatrixMarketError(f"cannot write symmetry {symmetry!r}")
     rows = np.repeat(np.arange(csr.m), np.diff(csr.indptr))
+    cols = np.asarray(csr.indices, np.int64)
+    vals = np.asarray(csr.data, np.float64)
+    if symmetry == "symmetric":
+        if csr.m != csr.n:
+            raise MatrixMarketError("symmetric writer needs a square "
+                                    "matrix")
+        keep = cols <= rows
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
     with open(path, "w") as f:
-        f.write("%%MatrixMarket matrix coordinate real general\n")
-        f.write(f"{csr.m} {csr.n} {csr.nnz}\n")
-        out = np.column_stack([
-            (rows + 1).astype(np.float64),
-            (csr.indices + 1).astype(np.float64),
-            csr.data.astype(np.float64)])
-        np.savetxt(f, out, fmt="%d %d %.17g")
+        f.write(f"%%MatrixMarket matrix coordinate {field} {symmetry}\n")
+        f.write(f"{csr.m} {csr.n} {rows.size}\n")
+        if field == "pattern":
+            out = np.column_stack([rows + 1, cols + 1])
+            np.savetxt(f, out, fmt="%d %d")
+        elif field == "integer":
+            iv = vals.astype(np.int64)
+            if not np.array_equal(iv.astype(np.float64), vals):
+                raise MatrixMarketError(
+                    "integer writer given non-integral values")
+            out = np.column_stack([rows + 1, cols + 1, iv])
+            np.savetxt(f, out, fmt="%d %d %d")
+        else:
+            out = np.column_stack([
+                (rows + 1).astype(np.float64),
+                (cols + 1).astype(np.float64), vals])
+            np.savetxt(f, out, fmt="%d %d %.17g")

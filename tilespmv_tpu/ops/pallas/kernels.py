@@ -981,11 +981,12 @@ def spmm_pallas(plan: LanePlan, xs: jax.Array,
     return y[: plan.m].astype(xs.dtype)
 
 
-def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
+def _stream_kernel(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
                    *refs,
                    s_batch: int, rounds: int, acc_dtype,
                    df64: bool = False, has_prev: bool = False,
-                   interpret: bool = False, span_rows: int = SPAN_ROWS):
+                   interpret: bool = False, span_rows: int = SPAN_ROWS,
+                   dual: bool = False):
     """One step = `s_batch` (8,128) entry slabs: hardware-gather x per
     slab superspan, prefix-sum by one batched matmul, then 3-gather
     boundary-difference scatter rounds (see stream_plan.py module doc).
@@ -1011,13 +1012,16 @@ def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
     @pl.when(sactive[i] == 1)
     def _():
         if df64:
-            _stream_step_df64(sbase, cfirst, *refs, i=i, s_batch=s_batch,
+            _stream_step_df64(sbase, sbase2, cfirst, *refs, i=i,
+                              s_batch=s_batch,
                               rounds=rounds, interpret=interpret,
-                              span_rows=span_rows)
+                              span_rows=span_rows, dual=dual)
         else:
-            _stream_step(sbase, cfirst, *refs, i=i, s_batch=s_batch,
+            _stream_step(sbase, sbase2, cfirst, *refs, i=i,
+                         s_batch=s_batch,
                          rounds=rounds, acc_dtype=acc_dtype,
-                         interpret=interpret, span_rows=span_rows)
+                         interpret=interpret, span_rows=span_rows,
+                         dual=dual)
 
 
 # In-situ ablation switches (scripts/ablate_stream.py flips these before
@@ -1040,13 +1044,15 @@ def _stream_kernel(sbase, cw, cfirst, sactive,      # scalar prefetch
 STREAM_VARIANT = {"xg": "chunk", "wide_scatter": False}
 
 
-def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
-                 planes_ref, out_ref, *, i, s_batch, rounds, acc_dtype,
-                 interpret, span_rows=SPAN_ROWS):
+def _stream_step(sbase, sbase2, cfirst, x2d_ref, ltri_ref, val_ref,
+                 vidx_ref, planes_ref, out_ref, *, i, s_batch, rounds,
+                 acc_dtype, interpret, span_rows=SPAN_ROWS,
+                 dual=False):
     xg = STREAM_VARIANT["xg"]
-    if span_rows != SPAN_ROWS and xg in ("narrow", "wide"):
-        xg = "chunk"   # the legacy arms hard-code the 64-row span
+    if (span_rows != SPAN_ROWS or dual) and xg in ("narrow", "wide"):
+        xg = "chunk"   # the legacy arms hard-code mono 64-row spans
     wide_scatter = STREAM_VARIANT["wide_scatter"]
+    hmask = span_rows // 8 - 1           # chunk-within-block bits
     contribs = []
     for s in range(s_batch):
         si = i * s_batch + s
@@ -1071,14 +1077,25 @@ def _stream_step(sbase, cfirst, x2d_ref, ltri_ref, val_ref, vidx_ref,
             # chunk c of ALL 8 windows is one static (8,128) slice (row
             # order = window). Per chunk: one narrow lane gather +
             # select — no sublane gathers, no broadcasts, no concat.
+            # Dual-span slabs stage a SECOND span the same way and pick
+            # per entry by vidx bit 13 (stream_plan._build_dual).
             span = x2d_ref[pl.ds(sbase[si], span_rows), :]   # (R, 128)
             lo = vidx & (LANES - 1)
-            hi3 = vidx >> 7
+            hi3 = (vidx >> 7) & hmask
             xv = None
             for c in range(span_rows // 8):
                 tk = jnp.take_along_axis(
                     span[c * SUBS:(c + 1) * SUBS], lo, axis=1)
                 xv = tk if xv is None else jnp.where(hi3 == c, tk, xv)
+            if dual:
+                spanb = x2d_ref[pl.ds(sbase2[si], span_rows), :]
+                xvb = None
+                for c in range(span_rows // 8):
+                    tk = jnp.take_along_axis(
+                        spanb[c * SUBS:(c + 1) * SUBS], lo, axis=1)
+                    xvb = tk if xvb is None else jnp.where(hi3 == c, tk,
+                                                           xvb)
+                xv = jnp.where((vidx >> 13) == 1, xvb, xv)
             xv = xv.astype(acc_dtype)
             contribs.append(val_ref[s].astype(acc_dtype) * xv)
             continue
@@ -1207,9 +1224,10 @@ def _shift_lanes(a, k):
     return jnp.pad(a, [(0, 0), (k, 0)])[:, : a.shape[1]]
 
 
-def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
-                      vidx_ref, planes_ref, out_ref, out_lo_ref, *, i,
-                      s_batch, rounds, interpret, span_rows=SPAN_ROWS):
+def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
+                      vlo_ref, vidx_ref, planes_ref, out_ref, out_lo_ref,
+                      *, i, s_batch, rounds, interpret,
+                      span_rows=SPAN_ROWS, dual=False):
     """Double-f32 stream step: the PLAN (slabs, round planes) is
     identical to f32; only the arithmetic changes —
 
@@ -1233,25 +1251,38 @@ def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
     drift on a single-slab step that vanishes the moment csh is made a
     graph output), and interpret mode is the CPU oracle — the same
     policy as the f32 kernel's exact-cumsum interpret branch."""
+    hmask = span_rows // 8 - 1
+
+    def stage_pair(src_ref, lo, hi3, vidx, s):
+        """Chunk-staged x from a slab's span(s) in `src_ref` — the
+        dual arm stages the second span and selects by vidx bit 13."""
+        si = i * s_batch + s
+        span = src_ref[pl.ds(sbase[si], span_rows), :]
+        xv = None
+        for c in range(span_rows // 8):
+            tk = jnp.take_along_axis(span[c * SUBS:(c + 1) * SUBS], lo,
+                                     axis=1)
+            xv = tk if xv is None else jnp.where(hi3 == c, tk, xv)
+        if dual:
+            spanb = src_ref[pl.ds(sbase2[si], span_rows), :]
+            xvb = None
+            for c in range(span_rows // 8):
+                tk = jnp.take_along_axis(spanb[c * SUBS:(c + 1) * SUBS],
+                                         lo, axis=1)
+                xvb = tk if xvb is None else jnp.where(hi3 == c, tk, xvb)
+            xv = jnp.where((vidx >> 13) == 1, xvb, xv)
+        return xv
+
     if interpret:
         ys64 = jnp.zeros((SUBS, LANES), jnp.float64)
         pe = planes_ref[0]
         sb8 = s_batch * SUBS
         for s in range(s_batch):
-            si = i * s_batch + s
             vidx = vidx_ref[s].astype(jnp.int32)
             lo = vidx & (LANES - 1)
-            hi3 = vidx >> 7
-            spanh = xh_ref[pl.ds(sbase[si], span_rows), :]
-            spanl = xl_ref[pl.ds(sbase[si], span_rows), :]
-            xh = xl = None
-            for c in range(span_rows // 8):
-                th = jnp.take_along_axis(spanh[c * SUBS:(c + 1) * SUBS],
-                                         lo, axis=1)
-                tl = jnp.take_along_axis(spanl[c * SUBS:(c + 1) * SUBS],
-                                         lo, axis=1)
-                xh = th if xh is None else jnp.where(hi3 == c, th, xh)
-                xl = tl if xl is None else jnp.where(hi3 == c, tl, xl)
+            hi3 = (vidx >> 7) & hmask
+            xh = stage_pair(xh_ref, lo, hi3, vidx, s)
+            xl = stage_pair(xl_ref, lo, hi3, vidx, s)
             prod = ((val_ref[s].astype(jnp.float64)
                      + vlo_ref[s].astype(jnp.float64))
                     * (xh.astype(jnp.float64) + xl.astype(jnp.float64)))
@@ -1269,22 +1300,13 @@ def _stream_step_df64(sbase, cfirst, xh_ref, xl_ref, val_ref, vlo_ref,
         return
     chs, cls = [], []
     for s in range(s_batch):
-        si = i * s_batch + s
         vidx = vidx_ref[s].astype(jnp.int32)
         lo = vidx & (LANES - 1)
-        hi3 = vidx >> 7
+        hi3 = (vidx >> 7) & hmask
         # chunk-staged x (see the "chunk" arm in _stream_step): rows of
         # the span are permuted to (chunk, window) order
-        spanh = xh_ref[pl.ds(sbase[si], span_rows), :]
-        spanl = xl_ref[pl.ds(sbase[si], span_rows), :]
-        xh = xl = None
-        for c in range(span_rows // 8):
-            th = jnp.take_along_axis(spanh[c * SUBS:(c + 1) * SUBS], lo,
-                                     axis=1)
-            tl = jnp.take_along_axis(spanl[c * SUBS:(c + 1) * SUBS], lo,
-                                     axis=1)
-            xh = th if xh is None else jnp.where(hi3 == c, th, xh)
-            xl = tl if xl is None else jnp.where(hi3 == c, tl, xl)
+        xh = stage_pair(xh_ref, lo, hi3, vidx, s)
+        xl = stage_pair(xl_ref, lo, hi3, vidx, s)
         vh = val_ref[s]
         vl = vlo_ref[s]
         # Dekker-exact product pair: ph = fl(vh*xh), plo = error + cross
@@ -1354,8 +1376,11 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                   .transpose(0, 2, 1, 3).reshape(-1, LANES))
     ospec = pl.BlockSpec(
         (SUBS, LANES),
-        lambda i, sbase, cw, cfirst, sactive: (0, cw[i]),
+        lambda i, sbase, sbase2, cw, cfirst, sactive: (0, cw[i]),
         memory_space=pltpu.VMEM)
+    # mono classes pass sbase twice (the kernel never reads sbase2;
+    # one spec path either way)
+    sb2 = sc.sbase2 if sc.sbase2 is not None else sc.sbase
     if sc.df64:
         xh = x2d128.astype(jnp.float32)
         xl = (x2d128 - xh.astype(jnp.float64)).astype(jnp.float32)
@@ -1363,9 +1388,10 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                                    rounds=sc.rounds,
                                    acc_dtype=jnp.float32, df64=True,
                                    has_prev=prev is not None,
-                                   interpret=interpret, span_rows=R)
+                                   interpret=interpret, span_rows=R,
+                                   dual=sc.dual)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(nsteps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # x hi
@@ -1388,11 +1414,11 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=(oshape, oshape),
-                input_output_aliases=({10: 0, 11: 1}
+                input_output_aliases=({11: 0, 12: 1}
                                       if prev is not None else {}),
                 interpret=interpret,
-            )(sc.sbase, sc.cw, sc.cfirst, sc.sactive, xh, xl, sc.val,
-              sc.val_lo, sc.vidx, sc.planes,
+            )(sc.sbase, sb2, sc.cw, sc.cfirst, sc.sactive, xh, xl,
+              sc.val, sc.val_lo, sc.vidx, sc.planes,
               *(tuple(prev) if prev is not None else ()))
     acc_dtype = (jnp.float32 if x2d128.dtype != jnp.float64
                  else jnp.float64)
@@ -1401,9 +1427,10 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
     kernel = functools.partial(_stream_kernel, s_batch=S,
                                rounds=sc.rounds, acc_dtype=acc_dtype,
                                has_prev=prev is not None,
-                               interpret=interpret, span_rows=R)
+                               interpret=interpret, span_rows=R,
+                               dual=sc.dual)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x2d128
@@ -1420,10 +1447,11 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((SUBS, n_windows * LANES),
                                            acc_dtype),
-            input_output_aliases={9: 0} if prev is not None else {},
+            input_output_aliases={10: 0} if prev is not None else {},
             interpret=interpret,
-        )(sc.sbase, sc.cw, sc.cfirst, sc.sactive, x2d128, ltri, sc.val,
-          sc.vidx, sc.planes, *((prev,) if prev is not None else ()))
+        )(sc.sbase, sb2, sc.cw, sc.cfirst, sc.sactive, x2d128, ltri,
+          sc.val, sc.vidx, sc.planes,
+          *((prev,) if prev is not None else ()))
 
 
 def x_to_panels(plan: LanePlan, x: jax.Array) -> jax.Array:

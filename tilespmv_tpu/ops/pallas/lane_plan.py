@@ -995,7 +995,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                     force_t: int | None = None,
                     use_stream: bool | None = None,
                     stream_s_batch: int | None = None,
-                    stream_span_rows: int | None = None) -> LanePlan:
+                    stream_span_rows: int | None = None,
+                    stream_dual: bool | None = None) -> LanePlan:
     """Compile a TileMatrix into the lane-major Pallas plan.
 
     `force_t` pins the dense-class chunk lane width and c_batch=1 for
@@ -1220,7 +1221,8 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
             stream, spill = build_stream_chunks(
                 g_row, g_col, g_val, tm.m, compute_dtype=cdt,
                 s_batch=stream_s_batch, span_rows=stream_span_rows,
-                device=not will_split, stack=not will_split)
+                device=not will_split, stack=not will_split,
+                dual=stream_dual)
             if stream is not None and will_split:
                 # two-rate (base, heavy) split when the SLAB_NS cost
                 # model says it beats one global s_batch (the

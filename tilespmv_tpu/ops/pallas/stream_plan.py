@@ -314,6 +314,132 @@ def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
     return best
 
 
+def _group_counts(g_row: np.ndarray, g_col: np.ndarray, r: int):
+    """Per-(window, superspan) group sublane histograms at span width
+    `r`, from the occupied (window, 1024-col block) cells (computed the
+    pick_span_rows way — never a dense table). Returns (C (G, 8) int64
+    counts, gwin (G,) window ids) in (window, span) order."""
+    q = (g_col >> 10).astype(np.int64)
+    nq = int(q.max()) + 1
+    uk, uc = np.unique((g_row >> 10).astype(np.int64) * nq + q,
+                       return_counts=True)
+    uw, uq = uk // nq, uk % nq
+    g = r // 64
+    gkey = (uw * nq + (uq // (8 * g)) * (8 * g)) * 8 + (uq // g) % 8
+    gk8, inv = np.unique(gkey, return_inverse=True)
+    c8 = np.bincount(inv, weights=uc).astype(np.int64)
+    ug, ginv = np.unique(gk8 // 8, return_inverse=True)
+    C = np.zeros((ug.size, SUBS), np.int64)
+    C[ginv, gk8 % 8] = c8
+    return C, (ug // nq).astype(np.int64)
+
+
+def _dual_slab_count(C: np.ndarray, gwin: np.ndarray) -> int:
+    """Slab count of the sequential dual-span greedy packing (the same
+    walk _build_dual performs), from group histograms alone."""
+    total = 0
+    L = np.zeros(SUBS, np.int64)
+    prev_w = -1
+    for i in range(C.shape[0]):
+        w = int(gwin[i])
+        if w != prev_w:
+            if L.any():
+                total += 1
+            L[:] = 0
+            prev_w = w
+        c = C[i].copy()
+        if L.any():
+            c -= np.minimum(c, CAP - L)
+            total += 1
+            L[:] = 0
+        mx = int(c.max())
+        kf = max(0, -(-mx // CAP) - 1) if mx else 0
+        total += kf
+        L = np.clip(c - kf * CAP, 0, None)
+    if L.any():
+        total += 1
+    return total
+
+
+def pick_geometry(g_row: np.ndarray, g_col: np.ndarray, m: int):
+    """Jointly pick (span_rows, dual) by the slab cost model.
+
+    Mono slabs pay SLAB_FLOOR + STAGE_CHUNK per x chunk (span_rows/8
+    chunks); dual slabs stage TWO spans (double the chunks) but the
+    sequential packing merges group tails, so hypersparse populations
+    trade staging for fill. A non-default geometry must beat the
+    (64, mono) default by >5% (same hysteresis as pick_span_rows)."""
+    best, best_cost, cost_default = (SPAN_CHOICES[0], False), None, None
+    for r in SPAN_CHOICES:
+        C, gwin = _group_counts(g_row, g_col, r)
+        s_mono = int((-(-C.max(axis=1) // CAP)).sum())
+        cands = [(False, s_mono)]
+        # dual never helps when mono fill is already high
+        if g_row.size < 0.92 * s_mono * SUBS * CAP:
+            cands.append((True, _dual_slab_count(C, gwin)))
+        for dual, slabs in cands:
+            chunks = (2 if dual else 1) * (r // 8)
+            cost = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * chunks)
+            if cost_default is None:
+                cost_default = cost
+            if best_cost is None or (cost < best_cost
+                                     and cost < cost_default * 0.95):
+                best, best_cost = (r, dual), cost
+    return best
+
+
+def _runs_planes(slab_of: np.ndarray, sub_of: np.ndarray,
+                 lane_of: np.ndarray, r: np.ndarray, nslabs: int):
+    """Round planes from entry placements. Entries must arrive
+    (slab, sublane)-contiguous and row-sorted within each (slab,
+    sublane); lane 0 is reserved. Returns (planes_raw, rounds) — the
+    compacted (src+tgt)%8 proper-coloring construction shared by the
+    mono and dual builders (see the module docstring)."""
+    nz = r.shape[0]
+    skey = slab_of * SUBS + sub_of
+    newrun = np.ones(nz, bool)
+    newrun[1:] = (skey[1:] != skey[:-1]) | (r[1:] != r[:-1])
+    runs = np.nonzero(newrun)[0]
+    run_end_e = np.append(runs[1:], nz) - 1
+
+    c_slab = slab_of[runs]
+    c_src = sub_of[runs]
+    c_row = r[runs]
+    c_start = lane_of[runs] - 1          # exclusive (>= 0: lane 0 pad)
+    c_end = lane_of[run_end_e]           # inclusive
+    rloc = c_row - (c_row >> 10 << 10)
+    c_tgt = (rloc >> 7).astype(np.int64)
+    c_j = rloc & (LANES - 1)
+    color = ((c_src + c_tgt) % SUBS).astype(np.uint8)
+    used = np.zeros((nslabs, LANES), np.uint8)
+    np.bitwise_or.at(used, (c_slab, c_j), np.uint8(1) << color)
+    pop = np.array([bin(m_).count("1") for m_ in range(256)], np.int64)
+    below = (used[c_slab, c_j]
+             & ((np.uint16(1) << color) - 1).astype(np.uint8))
+    t = pop[below]
+    rounds = max(4, int(-(-(int(t.max()) + 1) // 4) * 4)) if t.size else 4
+
+    planes = np.zeros((nslabs, plane_rows(rounds), LANES), np.int8)
+    planes[c_slab, t * 3 * SUBS + c_src, c_j] = c_end.astype(np.int8)
+    planes[c_slab, t * 3 * SUBS + SUBS + c_src, c_j] = c_start.astype(
+        np.int8)
+    # default rsrc: point every (t, q, j) at a source sublane with no
+    # contributor there (zero diff), then overwrite the routed targets
+    busybits = np.zeros((nslabs, rounds, LANES), np.uint8)
+    np.bitwise_or.at(busybits, (c_slab, t, c_j),
+                     (1 << c_src).astype(np.uint8))
+    lut = np.zeros(256, np.int8)
+    for mask in range(255):
+        lut[mask] = next(s_ for s_ in range(SUBS) if not (mask >> s_) & 1)
+    first_free = lut[busybits]                    # (nslabs, R, 128)
+    for tt in range(rounds):
+        base = tt * 3 * SUBS + 2 * SUBS
+        planes[:, base: base + SUBS, :] = first_free[:, tt, None, :]
+    planes[c_slab, t * 3 * SUBS + 2 * SUBS + c_tgt, c_j] = (
+        c_src.astype(np.int8))
+    return planes, rounds
+
+
 def unstack_step_planes(planes: np.ndarray, s_batch: int,
                         rounds: int) -> np.ndarray:
     """Inverse of stack_step_planes: per-step stacked
@@ -373,6 +499,7 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
 
     vidx = np.asarray(st.vidx)
     sbase = np.asarray(st.sbase)
+    sbase2 = np.asarray(st.sbase2) if st.sbase2 is not None else None
     planes_raw = (np.asarray(st.planes) if raw_planes
                   else unstack_step_planes(np.asarray(st.planes), S0, R))
     val_lo = np.asarray(st.val_lo) if st.df64 else None
@@ -387,6 +514,7 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
         vi = np.zeros((tot, SUBS, LANES), np.int16)
         pr = np.zeros((tot, plane_rows(R), LANES), np.int8)
         sb = np.zeros(tot, np.int32)
+        sb2 = np.zeros(tot, np.int32) if sbase2 is not None else None
         ld = np.zeros(tot, np.int64)
         vl = (np.zeros((tot, SUBS, LANES), np.float32)
               if val_lo is not None else None)
@@ -399,6 +527,8 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
             vi[dst] = vidx[idx]
             pr[dst] = planes_raw[idx]
             sb[dst] = sbase[idx]
+            if sb2 is not None:
+                sb2[dst] = sbase2[idx]
             ld[dst] = load[idx]
             if vl is not None:
                 vl[dst] = val_lo[idx]
@@ -413,8 +543,9 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
             sbase=jnp.asarray(sb), cw=jnp.asarray(cwc),
             cfirst=jnp.asarray(cf), sactive=jnp.asarray(sact),
             val_lo=jnp.asarray(vl) if vl is not None else None,
+            sbase2=jnp.asarray(sb2) if sb2 is not None else None,
             s_batch=s, rounds_=R, df64=st.df64,
-            span_rows=st.span_rows)
+            span_rows=st.span_rows, dual=st.dual)
 
     return build(~heavy, s1), (build(heavy, s2) if s2 is not None
                                else None)
@@ -440,12 +571,17 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                         use_native: bool = True,
                         span_rows: Optional[int] = None,
                         device: bool = True,
-                        stack: bool = True):
+                        stack: bool = True,
+                        dual: Optional[bool] = None):
     """Compile a global COO entry list into stream slabs.
 
     Returns (StreamChunks | None, spill); spill is always empty in this
     scheme (kept for API symmetry — the modular coloring cannot
     conflict) but still typed as (row, col, val) arrays.
+
+    `dual=None` lets pick_geometry choose the dual-span slab layout by
+    cost model when `span_rows` is also unset; the distributed layer
+    pins both (shard plans must agree on static geometry).
     """
     cdt = np.dtype(compute_dtype)
     n_windows = max(1, -(-m // RW_ROWS))
@@ -454,10 +590,18 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                    np.zeros(0, np.float64))
     if nz == 0:
         return None, empty_spill
-    if span_rows is None:
+    if span_rows is None and dual is None:
+        span_rows, dual = pick_geometry(g_row, g_col, m)
+    elif span_rows is None:
         span_rows = pick_span_rows(g_row, g_col, m)
+    dual = bool(dual)
     sh = 7 + int(span_rows).bit_length() - 1     # log2(span_rows * 128)
     vmask = 16 * span_rows - 1                   # sub-window col mask
+
+    if dual:
+        return _build_dual(g_row, g_col, val, m, cdt, s_batch,
+                           span_rows, device, stack,
+                           use_native=use_native), empty_spill
 
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
@@ -523,69 +667,160 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     sbase = np.zeros(nslabs, np.int32)
     sbase[old2new] = raw_base.astype(np.int32)
 
-    # --- runs: maximal same-row spans within (slab, sublane) ---
-    skey = slab_of * SUBS + sub_of
-    newrun = np.ones(nz, bool)
-    newrun[1:] = (skey[1:] != skey[:-1]) | (r[1:] != r[:-1])
-    runs = np.nonzero(newrun)[0]
-    run_end_e = np.append(runs[1:], nz) - 1
-
     val_arr = np.zeros((nslabs, SUBS, LANES), cdt)
     vidx_arr = np.zeros((nslabs, SUBS, LANES), np.int16)
     val_arr[slab_of, sub_of, lane_of] = v
     vidx_arr[slab_of, sub_of, lane_of] = (c & vmask).astype(np.int16)
 
-    # --- round planes: proper edge coloring (src+tgt) mod 8 of each
-    # (slab, lane) cell, compacted per cell so lightly loaded matrices
-    # need R=4; rsrc default-routes inert targets at a zero-diff source
-    c_slab = slab_of[runs]
-    c_src = sub_of[runs]
-    c_row = r[runs]
-    c_start = lane_of[runs] - 1          # exclusive (>= 0: lane 0 pad)
-    c_end = lane_of[run_end_e]           # inclusive
-    rloc = c_row - (c_row >> 10 << 10)
-    c_tgt = (rloc >> 7).astype(np.int64)
-    c_j = rloc & (LANES - 1)
-    color = ((c_src + c_tgt) % SUBS).astype(np.uint8)
-    used = np.zeros((nslabs, LANES), np.uint8)
-    np.bitwise_or.at(used, (c_slab, c_j), np.uint8(1) << color)
-    pop = np.array([bin(m_).count("1") for m_ in range(256)], np.int64)
-    below = (used[c_slab, c_j]
-             & ((np.uint16(1) << color) - 1).astype(np.uint8))
-    t = pop[below]
-    rounds = max(4, int(-(-(int(t.max()) + 1) // 4) * 4)) if t.size else 4
-
-    planes = np.zeros((nslabs, plane_rows(rounds), LANES), np.int8)
-
-    def row_end(tt):
-        return tt * 3 * SUBS
-
-    planes[c_slab, t * 3 * SUBS + c_src, c_j] = c_end.astype(np.int8)
-    planes[c_slab, t * 3 * SUBS + SUBS + c_src, c_j] = c_start.astype(
-        np.int8)
-    # default rsrc: point every (t, q, j) at a source sublane with no
-    # contributor there (zero diff) — busy sources tracked as an 8-bit
-    # mask, first free via a 256-entry LUT — then overwrite the routed
-    # targets. (Filling defaults first replaces the former per-q
-    # nonzero+scatter over every unrouted position, the planning
-    # profile's hot spot.)
-    busybits = np.zeros((nslabs, rounds, LANES), np.uint8)
-    np.bitwise_or.at(busybits, (c_slab, t, c_j),
-                     (1 << c_src).astype(np.uint8))
-    lut = np.zeros(256, np.int8)
-    for mask in range(255):
-        lut[mask] = next(s_ for s_ in range(SUBS) if not (mask >> s_) & 1)
-    first_free = lut[busybits]                    # (nslabs, R, 128)
-    for tt in range(rounds):
-        base = tt * 3 * SUBS + 2 * SUBS
-        planes[:, base: base + SUBS, :] = first_free[:, tt, None, :]
-    planes[c_slab, t * 3 * SUBS + 2 * SUBS + c_tgt, c_j] = (
-        c_src.astype(np.int8))
+    planes, rounds = _runs_planes(slab_of, sub_of, lane_of, r, nslabs)
 
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
                           s_batch, rounds, span_rows=span_rows,
                           device=device, stack=stack), empty_spill
+
+
+def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
+                device, stack, use_native: bool = True
+                ) -> Optional[StreamChunks]:
+    """Dual-span slab packing: walk each window's (superspan) groups in
+    span order; an open slab carries the previous group's leftover
+    (span A) and takes min(count, free) of the next group per sublane
+    (span B, vidx bit 13); remaining entries fill fresh mono slabs whose
+    final partial stays open for the next group. Entries of both groups
+    are merged row-sorted per (slab, sublane), so runs, the coloring,
+    and every downstream stage are the mono machinery unchanged."""
+    n_windows = max(1, -(-m // RW_ROWS))
+    if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
+        from ...core import native
+        raw = native.stream_plan(g_row, g_col, val, m, s_batch,
+                                 want_lo=cdt == np.dtype(np.float64),
+                                 span_rows=span_rows, dual=True)
+        if raw is not None and "sbase2" in raw:
+            win_full = np.repeat(raw["cw"], raw["s_batch"])
+            return _finish_stream(raw["val"], raw["vidx"], raw["planes"],
+                                  raw["sbase"], win_full,
+                                  raw["s_batch"], raw["rounds"],
+                                  val_lo_arr=raw.get("val_lo"),
+                                  span_rows=span_rows,
+                                  device=device, stack=stack,
+                                  sbase2_arr=raw["sbase2"], dual=True)
+    nz = g_row.shape[0]
+    sh = 7 + int(span_rows).bit_length() - 1
+    vmask = 16 * span_rows - 1
+    win = (g_row >> 10).astype(np.int64)
+    span = (g_col >> sh).astype(np.int64)
+    sub = ((g_col >> (sh - 3)) & 7).astype(np.int64)
+    order = np.lexsort((g_row, sub, span, win))
+    r = g_row[order]
+    c = g_col[order]
+    v = val[order].astype(np.float64)
+    win_o, span_o, sub_o = win[order], span[order], sub[order]
+
+    gkey = win_o * (np.int64(1) << 34) + span_o
+    newg = np.ones(nz, bool)
+    newg[1:] = gkey[1:] != gkey[:-1]
+    gid = np.cumsum(newg) - 1
+    ngroups = int(gid[-1]) + 1
+    gstart = np.nonzero(newg)[0]
+    gwin = win_o[gstart]
+    gspan = span_o[gstart]
+    C = np.zeros((ngroups, SUBS), np.int64)
+    np.add.at(C, (gid, sub_o), 1)
+
+    # --- sequential greedy packing over group histograms ---
+    take = np.zeros((ngroups, SUBS), np.int64)
+    shared_slab = np.full(ngroups, -1, np.int64)
+    base = np.zeros(ngroups, np.int64)
+    sA, sB, swin = [], [], []            # per raw slab
+    L = np.zeros(SUBS, np.int64)
+    open_id = -1
+    prev_w = -1
+    for g in range(ngroups):
+        w = int(gwin[g])
+        if w != prev_w:
+            open_id = -1
+            L[:] = 0
+            prev_w = w
+        cv = C[g].copy()
+        if open_id >= 0:
+            t = np.minimum(cv, CAP - L)
+            take[g] = t
+            shared_slab[g] = open_id
+            sB[open_id] = int(gspan[g]) * span_rows
+            cv -= t
+            open_id = -1
+            L[:] = 0
+        base[g] = len(sA)
+        mx = int(cv.max())
+        kf = max(0, -(-mx // CAP) - 1) if mx else 0
+        leftover = np.clip(cv - kf * CAP, 0, None)
+        nfresh = kf + (1 if leftover.any() else 0)
+        pbase = int(gspan[g]) * span_rows
+        for _ in range(nfresh):
+            sA.append(pbase)
+            sB.append(pbase)
+            swin.append(w)
+        open_id = len(sA) - 1 if leftover.any() else -1
+        L = leftover
+    nslabs_raw = len(sA)
+    if nslabs_raw == 0:
+        return None
+    raw_win = np.asarray(swin, np.int64)
+    sbaseA_raw = np.asarray(sA, np.int64)
+    sbaseB_raw = np.asarray(sB, np.int64)
+
+    # --- per-entry slab assignment ---
+    rank = _rank_within(gid * SUBS + sub_o)
+    tk = take[gid, sub_o]
+    is_shared = rank < tk
+    rr = rank - tk
+    slab_of = np.where(is_shared, shared_slab[gid],
+                       base[gid] + np.maximum(rr, 0) // CAP)
+    isB = is_shared
+
+    # shared slabs hold ONE shared-slab per raw id; fix up: a shared
+    # slab is a slab the group ENTERED — its own raw id came from the
+    # PREVIOUS group's leftover emission, so slab_of is already final.
+    # re-sort entries (slab, sublane, row) and assign lanes
+    order2 = np.lexsort((r, sub_o, slab_of))
+    slab_of = slab_of[order2]
+    sub_o2 = sub_o[order2]
+    r2 = r[order2]
+    c2 = c[order2]
+    v2 = v[order2]
+    isB2 = isB[order2]
+    lane_of = _rank_within(slab_of * SUBS + sub_o2) + 1
+    if lane_of.max() > CAP:
+        raise AssertionError("dual packing overflowed a sublane")
+
+    # --- pad each window's slab count to a multiple of s_batch ---
+    wcnt = np.bincount(raw_win, minlength=n_windows)
+    slabs_per_win = np.maximum(1, wcnt)
+    if s_batch is None:
+        s_batch = pick_s_batch(wcnt)
+    slabs_pad = -(-slabs_per_win // s_batch) * s_batch
+    slab_start = np.concatenate([[0], np.cumsum(slabs_pad)])[:-1]
+    nslabs = int(slabs_pad.sum())
+    old2new = slab_start[raw_win] + _rank_within(raw_win)
+    slab_of = old2new[slab_of]
+    sbase = np.zeros(nslabs, np.int32)
+    sbase2 = np.zeros(nslabs, np.int32)
+    sbase[old2new] = sbaseA_raw.astype(np.int32)
+    sbase2[old2new] = sbaseB_raw.astype(np.int32)
+
+    val_arr = np.zeros((nslabs, SUBS, LANES), cdt)
+    vidx_arr = np.zeros((nslabs, SUBS, LANES), np.int16)
+    val_arr[slab_of, sub_o2, lane_of] = v2.astype(cdt)
+    vidx_arr[slab_of, sub_o2, lane_of] = (
+        (c2 & vmask) | (isB2.astype(np.int64) << 13)).astype(np.int16)
+
+    planes, rounds = _runs_planes(slab_of, sub_o2, lane_of, r2, nslabs)
+    win_arr = np.repeat(np.arange(n_windows), slabs_pad)
+    return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
+                          s_batch, rounds, span_rows=span_rows,
+                          device=device, stack=stack,
+                          sbase2_arr=sbase2, dual=True)
 
 
 def to_device(sc: StreamChunks) -> StreamChunks:
@@ -596,14 +831,17 @@ def to_device(sc: StreamChunks) -> StreamChunks:
         planes=jnp.asarray(sc.planes), sbase=jnp.asarray(sc.sbase),
         cw=jnp.asarray(sc.cw), cfirst=jnp.asarray(sc.cfirst),
         sactive=jnp.asarray(sc.sactive),
-        val_lo=None if sc.val_lo is None else jnp.asarray(sc.val_lo))
+        val_lo=None if sc.val_lo is None else jnp.asarray(sc.val_lo),
+        sbase2=None if sc.sbase2 is None else jnp.asarray(sc.sbase2))
 
 
 def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
                    rounds, val_lo_arr=None,
                    span_rows: int = SPAN_ROWS,
                    device: bool = True,
-                   stack: bool = True) -> StreamChunks:
+                   stack: bool = True,
+                   sbase2_arr=None,
+                   dual: bool = False) -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
     cluster into trailing steps the kernel can skip), stack the round
     planes per step, and build the per-step control scalars. f64 values
@@ -621,6 +859,8 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
     if stack:
         planes = stack_step_planes(planes, s_batch, rounds)
     sbase = sbase[order]
+    if sbase2_arr is not None:
+        sbase2_arr = sbase2_arr[order]
     load = load[order]
     if val_lo_arr is not None:
         val_lo_arr = val_lo_arr[order]
@@ -650,5 +890,7 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
         cfirst=put(cfirst),
         sactive=put(sactive),
         val_lo=val_lo,
+        sbase2=(put(sbase2_arr.astype(np.int32))
+                if sbase2_arr is not None else None),
         s_batch=s_batch, rounds_=rounds, df64=df64,
-        span_rows=span_rows)
+        span_rows=span_rows, dual=dual)

@@ -358,8 +358,11 @@ def _unify_lane_plans(plans: list) -> list:
                 sactive=jnp.concatenate(
                     [s.sactive, jnp.zeros(xsteps, jnp.int32)]),
                 val_lo=padn(s.val_lo) if s.df64 else None,
+                sbase2=(jnp.concatenate(
+                    [s.sbase2, jnp.zeros(extra, jnp.int32)])
+                    if s.sbase2 is not None else None),
                 s_batch=s.s_batch, rounds_=rounds, df64=s.df64,
-                span_rows=s.span_rows)
+                span_rows=s.span_rows, dual=s.dual)
         streams = [pad_stream(s) for s in per]
 
     res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
