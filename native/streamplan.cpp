@@ -510,6 +510,90 @@ void sp_export_sb2(void* h, int32_t* sb2) {
     std::memcpy(sb2, P->sbase2.data(), P->sbase2.size() * 4);
 }
 
+void sp_export_cw(void* h, int32_t* cw) {
+    auto* P = (StreamPlan*)h;
+    std::memcpy(cw, P->cw.data(), P->cw.size() * 4);
+}
+
+void sp_export_loads(void* h, int64_t* loads) {
+    // per-slab load = nonzero val lanes (+ nonzero LO lanes when df64)
+    // — matches stream_plan._finish_stream's count_nonzero exactly
+    auto* P = (StreamPlan*)h;
+    for (int64_t s = 0; s < P->nslabs; ++s) {
+        int64_t c = 0;
+        const int64_t base = s * SUBS * LANES;
+        for (int64_t k = 0; k < SUBS * LANES; ++k) {
+            if (P->val[base + k] != 0.0f) ++c;
+            else if (!P->val_lo.empty() && P->val_lo[base + k] != 0.0f)
+                ++c;
+        }
+        loads[s] = c;
+    }
+}
+
+void sp_export_class(void* h, const int64_t* src, int64_t n_out,
+                     int32_t s_batch, int32_t rounds, float* val,
+                     float* val_lo, int16_t* vidx, int8_t* planes,
+                     int32_t* sbase, int32_t* sbase2) {
+    // Export `n_out` slabs picked by `src` (builder slab id, -1 =
+    // padding -> zeros) directly in the FINAL kernel layout: planes in
+    // the per-STEP stacked order (stream_plan.stack_step_planes — for
+    // step t, round r, triple q: all s_batch slabs' sublane rows).
+    // One pass; replaces the NumPy reorder + unstack/stack round trips
+    // that dominated the stream planning profile.
+    auto* P = (StreamPlan*)h;
+    const int64_t R = rounds;
+    const int64_t sl_bytes = SUBS * LANES;
+    for (int64_t o = 0; o < n_out; ++o) {
+        const int64_t s = src[o];
+        if (s < 0) {
+            std::memset(val + o * sl_bytes, 0, sl_bytes * 4);
+            if (val_lo) std::memset(val_lo + o * sl_bytes, 0,
+                                    sl_bytes * 4);
+            std::memset(vidx + o * sl_bytes, 0, sl_bytes * 2);
+            sbase[o] = 0;
+            if (sbase2) sbase2[o] = 0;
+        } else {
+            std::memcpy(val + o * sl_bytes, P->val.data() + s * sl_bytes,
+                        sl_bytes * 4);
+            if (val_lo)
+                std::memcpy(val_lo + o * sl_bytes,
+                            P->val_lo.data() + s * sl_bytes,
+                            sl_bytes * 4);
+            std::memcpy(vidx + o * sl_bytes,
+                        P->vidx.data() + s * sl_bytes, sl_bytes * 2);
+            sbase[o] = P->sbase[s];
+            if (sbase2)
+                sbase2[o] = P->sbase2.empty() ? 0 : P->sbase2[s];
+        }
+    }
+    // stacked planes: out step t row block = [round r][triple q][slab
+    // k][sublane] ; raw builder rows = slab-major [r][q][sublane]
+    const int64_t nsteps = n_out / s_batch;
+    const int64_t step_rows = R * 3 * SUBS * s_batch;
+    for (int64_t t = 0; t < nsteps; ++t) {
+        int8_t* outp = planes + t * step_rows * LANES;
+        for (int64_t r = 0; r < R; ++r)
+            for (int64_t q = 0; q < 3; ++q)
+                for (int64_t k = 0; k < s_batch; ++k) {
+                    const int64_t s = src[t * s_batch + k];
+                    int8_t* dst = outp
+                        + (((r * 3 + q) * s_batch + k) * SUBS) * LANES;
+                    if (s < 0) {
+                        std::memset(dst, 0, SUBS * LANES);
+                    } else {
+                        // raw planes were built with MAXR stride
+                        std::memcpy(dst,
+                                    P->planes.data()
+                                        + ((s * MAXR * 3
+                                            + (r * 3 + q)) * SUBS)
+                                              * LANES,
+                                    SUBS * LANES);
+                    }
+                }
+    }
+}
+
 void sp_release(void* h) { delete (StreamPlan*)h; }
 
 }  // extern "C"

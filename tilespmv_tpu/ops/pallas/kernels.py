@@ -427,6 +427,18 @@ def _sparse_kernel(pb, cw, cfirst,
     _write_out(i, cfirst, _tree_sum(blks), out_ref, prev_ref)
 
 
+# band df64 accumulation strategy (all CORRECT, err <= 1e-11 gates):
+#   serial — one running (sh, sm, cm) compensated chain (round-3 form)
+#   ilv2/ilv4 — 2/4 independent accumulator sets, exact two-sum merge
+#   tree — Dekker product pairs + _pair_tree_sum (the stream df64 form)
+# measured on v5e banded_large (scripts/ab_band_df64.py, round 4) with
+# the 2-plane (hi, lo) value layout: serial 144.1 / ilv2 143.6 /
+# ilv4 142.1 / tree 137.4 us (all 6.4e-12) — the class is traffic-bound
+# (the 3-part 12 B/value layout measured 207-211 us across ALL
+# variants), so the layout change bought 32% and tree's extra ILP ~5%
+BAND_DF64_VARIANT = {"acc": "tree"}
+
+
 def _band_kernel(pb, cw, cfirst,
                  *refs,       # panels, val, bloc[, prev...], out[, lo]
                  c_cols: int, k_panels: int, acc_dtype, df64: bool,
@@ -480,20 +492,76 @@ def _band_kernel(pb, cw, cfirst,
     out_lo_ref = outs[1]
     panels_h = [pr[0, 0] for pr in panel_refs]
     panels_l = [pr[0, 1] for pr in panel_refs]
-    sh = jnp.zeros((_B, T), jnp.float32)
-    sm = jnp.zeros((_B, T), jnp.float32)
-    cm = jnp.zeros((_B, T), jnp.float32)
+    if interpret:
+        # exact-f64 oracle: XLA:CPU fusion rewrites compensated (hi, lo)
+        # chains whose intermediates stay fusion-internal (round-3
+        # gotcha — the tree variant drifted 8e-9 under interpret while
+        # exact on-chip), so the CPU path never runs the pair pipeline
+        panels64 = [ph.astype(jnp.float64) + pl.astype(jnp.float64)
+                    for ph, pl in zip(panels_h, panels_l)]
+        acc = jnp.zeros((_B, T), jnp.float64)
+        for cb in range(c_cols):
+            xq = gather_xq(panels64, cb)
+            for j in range(_B):
+                a = (val_ref[0, 2 * cb, j].astype(jnp.float64)
+                     + val_ref[0, 2 * cb + 1, j].astype(jnp.float64))
+                acc = acc + a * xq[j, :][None, :]
+        yh = acc.astype(jnp.float32)
+        yl = (acc - yh.astype(jnp.float64)).astype(jnp.float32)
+        _write_out_df64(i, cfirst, yh, yl, out_ref, out_lo_ref,
+                        prevs[0], prevs[1])
+        return
+    variant = BAND_DF64_VARIANT["acc"]
+    if variant == "tree":
+        # Dekker product pairs tree-combined (the stream df64 form):
+        # no serial (sh, sm, cm) chain — the 16 j-products and the
+        # log2 tree expose independent VPU chains Mosaic can overlap
+        pair = None
+        for cb in range(c_cols):
+            xh = gather_xq(panels_h, cb)
+            xl = gather_xq(panels_l, cb)
+            pairs = []
+            for j in range(_B):
+                ah = val_ref[0, 2 * cb, j]
+                vl = val_ref[0, 2 * cb + 1, j]
+                a1, a2 = _x_split(ah)       # runtime Dekker pre-split
+                xhj = xh[j, :][None, :]
+                xlj = xl[j, :][None, :]
+                b1, b2 = _x_split(xhj)
+                ph = ah * xhj
+                plo = (((a1 * b1 - ph) + a1 * b2 + a2 * b1) + a2 * b2
+                       + ah * xlj + vl * xhj)
+                pairs.append((ph, plo))
+            h, l = _pair_tree_sum(pairs)
+            if pair is None:
+                pair = (h, l)
+            else:
+                t, e = _two_sum(pair[0], h)
+                pair = (t, pair[1] + l + e)
+        _write_out_df64(i, cfirst, pair[0], pair[1], out_ref, out_lo_ref,
+                        prevs[0], prevs[1])
+        return
+    nway = {"serial": 1, "ilv2": 2, "ilv4": 4}[variant]
+    # nway independent (sh, sm, cm) accumulator sets cut the serial
+    # two-sum dependency chain by nway; merged exactly at the end
+    accs = [[jnp.zeros((_B, T), jnp.float32) for _ in range(3)]
+            for _ in range(nway)]
     for cb in range(c_cols):
         xh = gather_xq(panels_h, cb)
         xl = gather_xq(panels_l, cb)
         b1, b2 = _x_split(xh)
         for j in range(_B):
-            sh, sm, cm = _df64_mac(
-                sh, sm, cm,
-                val_ref[0, 3 * cb, j], val_ref[0, 3 * cb + 1, j],
-                val_ref[0, 3 * cb + 2, j],
+            a = accs[j % nway]
+            a1, a2 = _x_split(val_ref[0, 2 * cb, j])
+            a[0], a[1], a[2] = _df64_mac(
+                a[0], a[1], a[2],
+                a1, a2, val_ref[0, 2 * cb + 1, j],
                 b1[j, :][None, :], b2[j, :][None, :],
                 xh[j, :][None, :], xl[j, :][None, :])
+    sh, sm = accs[0][0], accs[0][1] - accs[0][2]
+    for a in accs[1:]:
+        sh, e = _two_sum(sh, a[0])
+        sm = sm + (a[1] - a[2]) + e
     _write_out_df64(i, cfirst, sh, sm, out_ref, out_lo_ref,
                     prevs[0], prevs[1])
 
@@ -649,7 +717,7 @@ def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
                                has_prev=prev is not None,
                                interpret=interpret)
     nsteps = bd.cw.shape[0]
-    vparts = 3 if bd.df64 else 1
+    vparts = 2 if bd.df64 else 1   # df64: (hi, lo) pair rows
     tensor_specs = [
         _chunk_spec((vparts * bd.c_cols, _B, _B, ROW_WINDOW),
                     lead=1),                                     # val
@@ -660,7 +728,11 @@ def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
     out_shape = (oshape, oshape) if bd.df64 else oshape
     prev_args = () if prev is None else (
         tuple(prev) if n_out == 2 else (prev,))
-    with _x32_trace():
+    # the df64 interpret branch computes in exact f64 (see
+    # _band_kernel) — trace it with x64 left on
+    ctx = (contextlib.nullcontext() if interpret and bd.df64
+           else _x32_trace())
+    with ctx:
         return pl.pallas_call(
             kernel,
             grid_spec=_grid_spec(nsteps, bd.k_panels, tensor_specs,
@@ -958,18 +1030,39 @@ def spmm_pallas(plan: LanePlan, xs: jax.Array,
 
     if plan.stream is not None:
         nw2 = plan.n_stream_windows
-        ycols = []
-        for r in range(k):
-            x_pad128 = (jnp.zeros(plan.x_padded_len128, dtype=xs.dtype)
-                        .at[: plan.n].set(xs[:, r]))
-            ys = stream_class_call(plan.stream, x_pad128.reshape(-1, 128),
-                                   nw2, interpret=interpret)
+        ycols = [None] * k
+        xs128 = [(jnp.zeros(plan.x_padded_len128, dtype=xs.dtype)
+                  .at[: plan.n].set(xs[:, r])).reshape(-1, 128)
+                 for r in range(k)]
+        fuse = (STREAM_SPMM_FUSED and not plan.stream.df64
+                and xs.dtype != jnp.float64)
+
+        def flat(ys):
+            return (ys.reshape(SUBS, nw2, LANES)
+                    .transpose(1, 0, 2).reshape(-1))
+
+        r = 0
+        while r < k:
+            if fuse and r + 1 < k:
+                ya, yb = stream_class_call2(plan.stream, xs128[r],
+                                            xs128[r + 1], nw2,
+                                            interpret=interpret)
+                if plan.stream2 is not None:
+                    ya, yb = stream_class_call2(plan.stream2, xs128[r],
+                                                xs128[r + 1], nw2,
+                                                interpret=interpret,
+                                                prev=(ya, yb))
+                ycols[r] = flat(ya)
+                ycols[r + 1] = flat(yb)
+                r += 2
+                continue
+            ys = stream_class_call(plan.stream, xs128[r], nw2,
+                                   interpret=interpret)
             if plan.stream2 is not None:
-                ys = stream_class_call(plan.stream2,
-                                       x_pad128.reshape(-1, 128), nw2,
+                ys = stream_class_call(plan.stream2, xs128[r], nw2,
                                        interpret=interpret, prev=ys)
-            ycols.append(ys.reshape(SUBS, nw2, LANES)
-                         .transpose(1, 0, 2).reshape(-1))
+            ycols[r] = flat(ys)
+            r += 1
         ys2 = jnp.stack(ycols, axis=1)
         ln = max(y.shape[0], ys2.shape[0])
         y = (jnp.zeros((ln, k), ys2.dtype).at[: y.shape[0]].add(y)
@@ -1042,6 +1135,11 @@ def _stream_kernel(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
 #     (gather cost scales superlinearly with sublane count; powerlaw
 #     1.06 -> 1.14 ms), kept as an ablation arm.
 STREAM_VARIANT = {"xg": "chunk", "wide_scatter": False}
+
+# fused 2-RHS stream SpMM (stream_class_call2): shares the per-slab
+# decode, val loads, plane reads, and step machinery across RHS pairs;
+# flipped by scripts/ab_spmm_stream.py, committed default = measured
+STREAM_SPMM_FUSED = True
 
 
 def _stream_step(sbase, sbase2, cfirst, x2d_ref, ltri_ref, val_ref,
@@ -1200,6 +1298,158 @@ def _stream_step(sbase, sbase2, cfirst, x2d_ref, ltri_ref, val_ref,
     @pl.when(cfirst[i] == 0)
     def _():
         out_ref[...] += y
+
+
+def _stream_kernel2(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
+                    *refs, s_batch: int, rounds: int, acc_dtype,
+                    has_prev: bool = False, interpret: bool = False,
+                    span_rows: int = SPAN_ROWS, dual: bool = False):
+    """Fused 2-RHS stream step (f32): the slab decode, x staging loops'
+    index planes, val loads, round-plane reads, and the step machinery
+    are shared across both right-hand sides; the two contribution
+    stacks ride ONE doubled MXU prefix call. Round-4 task 5 — the
+    gathers themselves stay per-RHS (they index per-RHS csum data), so
+    the win is the shared fixed work, measured on-chip."""
+    i = pl.program_id(0)
+    if has_prev:
+        refs = refs[:-4] + refs[-2:]
+    xa_ref, xb_ref, ltri_ref, val_ref, vidx_ref, planes_ref = refs[:6]
+    out_a, out_b = refs[-2:]
+
+    @pl.when((sactive[i] == 0) & (cfirst[i] == 1))
+    def _():
+        out_a[...] = jnp.zeros_like(out_a)
+        out_b[...] = jnp.zeros_like(out_b)
+
+    @pl.when(sactive[i] == 1)
+    def _():
+        hmask = span_rows // 8 - 1
+        ca, cb = [], []
+        for s in range(s_batch):
+            si = i * s_batch + s
+            vidx = vidx_ref[s].astype(jnp.int32)
+            lo = vidx & (LANES - 1)
+            hi3 = (vidx >> 7) & hmask
+
+            def stage(xref):
+                span = xref[pl.ds(sbase[si], span_rows), :]
+                xv = None
+                for c in range(span_rows // 8):
+                    tk = jnp.take_along_axis(
+                        span[c * SUBS:(c + 1) * SUBS], lo, axis=1)
+                    xv = tk if xv is None else jnp.where(hi3 == c, tk,
+                                                         xv)
+                if dual:
+                    spanb = xref[pl.ds(sbase2[si], span_rows), :]
+                    xvb = None
+                    for c in range(span_rows // 8):
+                        tk = jnp.take_along_axis(
+                            spanb[c * SUBS:(c + 1) * SUBS], lo, axis=1)
+                        xvb = (tk if xvb is None
+                               else jnp.where(hi3 == c, tk, xvb))
+                    xv = jnp.where((vidx >> 13) == 1, xvb, xv)
+                return xv.astype(acc_dtype)
+
+            va = val_ref[s].astype(acc_dtype)
+            ca.append(va * stage(xa_ref))
+            cb.append(va * stage(xb_ref))
+        cstack = jnp.concatenate(ca + cb, axis=0)     # (2*8S, 128)
+        dnums = (((1,), (0,)), ((), ()))
+        if interpret:
+            csum = jnp.cumsum(cstack, axis=1)
+        else:
+            lt = ltri_ref[...].astype(jnp.bfloat16)
+            c_hi = cstack.astype(jnp.bfloat16)
+            c_lo = (cstack - c_hi.astype(acc_dtype)).astype(jnp.bfloat16)
+            csum = (jax.lax.dot_general(c_hi, lt, dnums,
+                                        preferred_element_type=acc_dtype)
+                    + jax.lax.dot_general(
+                        c_lo, lt, dnums,
+                        preferred_element_type=acc_dtype))
+        pe = planes_ref[0]
+        sb8 = s_batch * SUBS
+        csa, csb = csum[:sb8], csum[sb8:]
+        ys_a, ys_b = [], []
+        for t in range(rounds):
+            base = t * 3 * sb8
+            for s in range(s_batch):
+                o = base + s * SUBS
+                pe_e = pe[o: o + SUBS]
+                pe_s = pe[sb8 + o: sb8 + o + SUBS]
+                rsrc = pe[2 * sb8 + o: 2 * sb8 + o + SUBS]
+                for cs, ys in ((csa, ys_a), (csb, ys_b)):
+                    sl = cs[s * SUBS:(s + 1) * SUBS]
+                    ue = jnp.take_along_axis(sl, pe_e, axis=1)
+                    us = jnp.take_along_axis(sl, pe_s, axis=1)
+                    ys.append(jnp.take_along_axis(ue - us, rsrc,
+                                                  axis=0))
+        ya = _tree_sum(ys_a)
+        yb = _tree_sum(ys_b)
+
+        @pl.when(cfirst[i] == 1)
+        def _():
+            out_a[...] = ya
+            out_b[...] = yb
+
+        @pl.when(cfirst[i] == 0)
+        def _():
+            out_a[...] += ya
+            out_b[...] += yb
+
+
+def stream_class_call2(sc: StreamChunks, xa2d: jax.Array,
+                       xb2d: jax.Array, n_windows: int,
+                       interpret: bool = False, prev=None):
+    """Run the stream class on TWO RHS vectors in one fused kernel
+    (f32 only). Returns (ya, yb); `prev` is an optional (pa, pb) pair
+    aliased in for the split heavy class."""
+    S = sc.s_batch
+    nsteps = sc.nsteps
+    R = sc.span_rows
+    def permute(x2d):
+        if x2d.shape[0] % R:
+            x2d = jnp.pad(x2d, [(0, R - x2d.shape[0] % R), (0, 0)])
+        return (x2d.reshape(-1, SUBS, R // 8, LANES)
+                .transpose(0, 2, 1, 3).reshape(-1, LANES))
+    xa2d = permute(xa2d)
+    xb2d = permute(xb2d)
+    ospec = pl.BlockSpec(
+        (SUBS, LANES),
+        lambda i, sbase, sbase2, cw, cfirst, sactive: (0, cw[i]),
+        memory_space=pltpu.VMEM)
+    sb2 = sc.sbase2 if sc.sbase2 is not None else sc.sbase
+    ltri = jnp.asarray(np.triu(np.ones((LANES, LANES), np.float32)))
+    kernel = functools.partial(_stream_kernel2, s_batch=S,
+                               rounds=sc.rounds, acc_dtype=jnp.float32,
+                               has_prev=prev is not None,
+                               interpret=interpret, span_rows=R,
+                               dual=sc.dual)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xa
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xb
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ltri
+            _chunk_spec((SUBS, LANES), lead=S),      # val
+            _chunk_spec((SUBS, LANES), lead=S),      # vidx
+            _chunk_spec((sc.planes.shape[1], LANES), lead=1),  # planes
+        ] + ([ospec, ospec] if prev is not None else []),
+        out_specs=(ospec, ospec),
+    )
+    oshape = jax.ShapeDtypeStruct((SUBS, n_windows * LANES),
+                                  jnp.float32)
+    with _x32_trace():
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(oshape, oshape),
+            input_output_aliases=({11: 0, 12: 1}
+                                  if prev is not None else {}),
+            interpret=interpret,
+        )(sc.sbase, sb2, sc.cw, sc.cfirst, sc.sactive, xa2d, xb2d,
+          ltri, sc.val, sc.vidx, sc.planes,
+          *(tuple(prev) if prev is not None else ()))
 
 
 def _pair_tree_sum(pairs):

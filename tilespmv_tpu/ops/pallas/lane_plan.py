@@ -936,7 +936,13 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
 
     nchunks = n_windows
     df64 = cdt == np.dtype(np.float64)
-    vparts = 3 if df64 else 1
+    # df64 stores an exact (hi, lo) f32 pair per column block — 8
+    # bytes/value, same as f64 itself. The class measured TRAFFIC-bound
+    # on v5e (round 4: serial/ilv2/ilv4/tree accumulation variants all
+    # ~208 us), so the old 3-part pre-split (a1, a2, vl = 12 B/value)
+    # paid 50% extra HBM for VPU work the chip had headroom to do at
+    # runtime (_x_split in the kernel).
+    vparts = 2 if df64 else 1
     val = np.zeros((nchunks, vparts * C, 16, 16, T),
                    np.float32 if df64 else cdt)
     bloc = np.zeros((nchunks, 1, T), np.int32)
@@ -974,10 +980,9 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
     if df64:
         acc = np.zeros((nchunks, C, 16, 16, T), np.float64)
         np.add.at(acc, (win, cbv, ec[e_sel], er[e_sel], lane), ev[e_sel])
-        a1, a2, vl = df64_split(acc)
-        val[:, 0::3] = a1
-        val[:, 1::3] = a2
-        val[:, 2::3] = vl
+        vh = acc.astype(np.float32)
+        val[:, 0::2] = vh
+        val[:, 1::2] = (acc - vh.astype(np.float64)).astype(np.float32)
     else:
         np.add.at(val, (win, cbv, ec[e_sel], er[e_sel], lane),
                   ev[e_sel].astype(cdt))
@@ -1213,24 +1218,23 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         g_col = np.concatenate(s_cols)
         g_val = np.concatenate(s_vals)
         if g_val.size:
-            # keep the freshly built class on the HOST until the split
-            # decision: the split re-batches the (possibly huge) plane
-            # arrays, and a device round trip here costs minutes over
-            # the tunnel (split_stream_chunks uploads its results)
             will_split = stream_s_batch is None
-            stream, spill = build_stream_chunks(
-                g_row, g_col, g_val, tm.m, compute_dtype=cdt,
-                s_batch=stream_s_batch, span_rows=stream_span_rows,
-                device=not will_split, stack=not will_split,
-                dual=stream_dual)
-            if stream is not None and will_split:
-                # two-rate (base, heavy) split when the SLAB_NS cost
-                # model says it beats one global s_batch (the
-                # distributed layer forces a shared s_batch instead —
-                # its plans must agree across shards)
-                from .stream_plan import split_stream_chunks
-                stream, stream2 = split_stream_chunks(stream,
-                                                      raw_planes=True)
+            if will_split:
+                # fused build + two-rate (base, heavy) split: the
+                # native path exports each class directly in its final
+                # kernel layout (build_stream_classes; the split fires
+                # when the SLAB_NS cost model says two rates beat one)
+                from .stream_plan import build_stream_classes
+                (stream, stream2), spill = build_stream_classes(
+                    g_row, g_col, g_val, tm.m, compute_dtype=cdt,
+                    span_rows=stream_span_rows, dual=stream_dual)
+            else:
+                # the distributed layer forces a shared s_batch (its
+                # shard plans must agree) — single class, no split
+                stream, spill = build_stream_chunks(
+                    g_row, g_col, g_val, tm.m, compute_dtype=cdt,
+                    s_batch=stream_s_batch, span_rows=stream_span_rows,
+                    dual=stream_dual)
         else:
             from .stream_plan import empty_stream_chunks
             stream = empty_stream_chunks(max(1, -(-tm.m // RW_ROWS)), cdt,

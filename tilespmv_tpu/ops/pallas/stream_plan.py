@@ -314,16 +314,20 @@ def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
     return best
 
 
-def _group_counts(g_row: np.ndarray, g_col: np.ndarray, r: int):
-    """Per-(window, superspan) group sublane histograms at span width
-    `r`, from the occupied (window, 1024-col block) cells (computed the
-    pick_span_rows way — never a dense table). Returns (C (G, 8) int64
-    counts, gwin (G,) window ids) in (window, span) order."""
+def _occupied_cells(g_row: np.ndarray, g_col: np.ndarray):
+    """Occupied (window, 1024-col block) cells with entry counts — the
+    one O(nz log nz) pass every geometry candidate aggregates from."""
     q = (g_col >> 10).astype(np.int64)
     nq = int(q.max()) + 1
     uk, uc = np.unique((g_row >> 10).astype(np.int64) * nq + q,
                        return_counts=True)
-    uw, uq = uk // nq, uk % nq
+    return uk // nq, uk % nq, uc, nq
+
+
+def _group_counts_cells(uw, uq, uc, nq, r: int):
+    """Per-(window, superspan) group sublane histograms at span width
+    `r` from the occupied cells (no per-entry work). Returns (C (G, 8)
+    int64 counts, gwin (G,) window ids) in (window, span) order."""
     g = r // 64
     gkey = (uw * nq + (uq // (8 * g)) * (8 * g)) * 8 + (uq // g) % 8
     gk8, inv = np.unique(gkey, return_inverse=True)
@@ -332,6 +336,12 @@ def _group_counts(g_row: np.ndarray, g_col: np.ndarray, r: int):
     C = np.zeros((ug.size, SUBS), np.int64)
     C[ginv, gk8 % 8] = c8
     return C, (ug // nq).astype(np.int64)
+
+
+def _group_counts(g_row: np.ndarray, g_col: np.ndarray, r: int):
+    """_group_counts_cells over freshly computed cells (test helper)."""
+    uw, uq, uc, nq = _occupied_cells(g_row, g_col)
+    return _group_counts_cells(uw, uq, uc, nq, r)
 
 
 def _dual_slab_count(C: np.ndarray, gwin: np.ndarray) -> int:
@@ -370,8 +380,9 @@ def pick_geometry(g_row: np.ndarray, g_col: np.ndarray, m: int):
     trade staging for fill. A non-default geometry must beat the
     (64, mono) default by >5% (same hysteresis as pick_span_rows)."""
     best, best_cost, cost_default = (SPAN_CHOICES[0], False), None, None
+    uw, uq, uc, nq = _occupied_cells(g_row, g_col)
     for r in SPAN_CHOICES:
-        C, gwin = _group_counts(g_row, g_col, r)
+        C, gwin = _group_counts_cells(uw, uq, uc, nq, r)
         s_mono = int((-(-C.max(axis=1) // CAP)).sum())
         cands = [(False, s_mono)]
         # dual never helps when mono fill is already high
@@ -821,6 +832,68 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
                           s_batch, rounds, span_rows=span_rows,
                           device=device, stack=stack,
                           sbase2_arr=sbase2, dual=True)
+
+
+def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
+                         val: np.ndarray, m: int,
+                         compute_dtype=jnp.float32,
+                         span_rows: Optional[int] = None,
+                         dual: Optional[bool] = None,
+                         use_native: bool = True):
+    """Build the stream plan AND its two-rate (base, heavy) split in one
+    pass. Returns ((base, heavy | None), spill).
+
+    Fast path: the native builder runs once (slabs-per-step 1), Python
+    decides the split on per-slab metadata only, and C++ exports each
+    class directly in its final kernel layout — no NumPy reorder or
+    plane unstack/stack round trips (they dominated powerlaw_large's
+    planning profile; round-4 task 3). Falls back to
+    build_stream_chunks + split_stream_chunks when the library is
+    unavailable (bit-identical results — equivalence-tested)."""
+    cdt = np.dtype(compute_dtype)
+    empty_spill = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                   np.zeros(0, np.float64))
+    if g_row.shape[0] == 0:
+        return (None, None), empty_spill
+    if span_rows is None and dual is None:
+        span_rows, dual = pick_geometry(g_row, g_col, m)
+    elif span_rows is None:
+        span_rows = pick_span_rows(g_row, g_col, m)
+    dual = bool(dual)
+    if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
+        from ...core import native
+        out = native.stream_plan_classes(
+            g_row, g_col, val, m,
+            want_lo=cdt == np.dtype(np.float64),
+            span_rows=span_rows, dual=dual,
+            split_fn=pick_stream_split)
+        if out is not None:
+            df64 = cdt == np.dtype(np.float64)
+            classes = [StreamChunks(
+                val=jnp.asarray(cd["val"]),
+                vidx=jnp.asarray(cd["vidx"]),
+                planes=jnp.asarray(cd["planes"]),
+                sbase=jnp.asarray(cd["sbase"]),
+                cw=jnp.asarray(cd["cw"]),
+                cfirst=jnp.asarray(cd["cfirst"]),
+                sactive=jnp.asarray(cd["sactive"]),
+                val_lo=(jnp.asarray(cd["val_lo"])
+                        if "val_lo" in cd else None),
+                sbase2=(jnp.asarray(cd["sbase2"])
+                        if "sbase2" in cd else None),
+                s_batch=cd["s_batch"], rounds_=cd["rounds"],
+                df64=df64, span_rows=span_rows, dual=dual)
+                for cd in out]
+            return (classes[0],
+                    classes[1] if len(classes) > 1 else None), \
+                empty_spill
+    st, spill = build_stream_chunks(
+        g_row, g_col, val, m, compute_dtype=compute_dtype,
+        span_rows=span_rows, dual=dual, use_native=use_native,
+        device=False, stack=False)
+    if st is None:
+        return (None, None), spill
+    return split_stream_chunks(st, raw_planes=True), spill
 
 
 def to_device(sc: StreamChunks) -> StreamChunks:

@@ -251,7 +251,7 @@ def _unify_lane_plans(plans: list) -> list:
     if has_band:
         import numpy as _np
         cmax = max(p.band.c_cols for p in plans if p.band is not None)
-        vparts = 3 if df64 else 1   # df64 band val rows: 3 parts per C
+        vparts = 2 if df64 else 1   # df64 band val rows: (hi, lo) per C
 
         def pad_band(b):
             if b is None:

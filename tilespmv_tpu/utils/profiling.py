@@ -35,7 +35,9 @@ def _timed(fn, *args, reps: int = 3, k1: int = 25, k2: int = 425) -> float:
                 out = fn(*a[:-1], a[-1] + eps.astype(a[-1].dtype))
             else:
                 out = fn() + acc.astype(jnp.float32) * 0.0
-            s = jnp.sum(out).astype(jnp.float32)
+            # df64 class calls return a (hi, lo) pair — reduce leaves
+            s = sum(jnp.sum(o).astype(jnp.float32)
+                    for o in jax.tree_util.tree_leaves(out))
             return eps + s * 1e-30, acc + s
         _, acc = lax.fori_loop(
             0, iters, body,
