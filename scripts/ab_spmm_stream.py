@@ -28,10 +28,12 @@ t1 = _timed(op._fn if hasattr(op, "_fn") else (lambda xx: op(xx)),
             jnp.asarray(x1))
 print(f"one SpMV: {t1*1e3:.3f} ms", flush=True)
 
-dense = csr.to_dense()
+rows = np.repeat(np.arange(csr.m), np.diff(csr.indptr))
 for k in (4, 8):
     xs = rng.standard_normal((csr.n, k)).astype(np.float32)
-    ref = dense @ xs
+    ref = np.zeros((csr.m, k))
+    np.add.at(ref, rows, csr.data[:, None] * xs[csr.indices].astype(
+        np.float64))
     for fused in (False, True):
         kernels.STREAM_SPMM_FUSED = fused
 

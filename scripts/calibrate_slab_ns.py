@@ -29,13 +29,37 @@ from tilespmv_tpu.ops.pallas.lane_plan import build_lane_plan  # noqa: E402
 from tilespmv_tpu.utils.profiling import _timed  # noqa: E402
 
 NAMES = sys.argv[1:] or ["powerlaw_large", "mixed_large", "mixed_medium",
-                         "uniform_sparse"]
+                         "uniform_sparse", "skipcal_8", "skipcal_16"]
 S_CHOICES = (1, 2, 4, 8, 11, 16, 32)  # 11 validates interpolation;
                                       # 32 probes past the S_MAX cap
 
+
+def _skipcal(every: int):
+    """Entries confined to every `every`-th 1024-row window: the other
+    windows produce exactly one SKIPPED step each, whatever s_batch —
+    the rows that finally constrain SKIP_NS (round-4 task 7; the
+    round-3 refit had no skipped steps anywhere and left SKIP_NS at
+    its 60 ns estimate)."""
+    from tilespmv_tpu.io.mmio import csr_from_coo
+    rng = np.random.default_rng(123 + every)
+    m = n = 262144
+    live_w = np.arange(0, m // 1024, every)
+    nnz_per_w = 3000
+    rws = np.repeat(live_w, nnz_per_w) * 1024
+    rows_ = rws + rng.integers(0, 1024, rws.size)
+    # confine columns to 32 superspans so active slabs stay few and the
+    # skipped-step share dominates the signal
+    cols_ = rng.integers(0, 32 * 8192, rws.size)
+    return csr_from_coo(m, n, rows_, cols_,
+                        rng.standard_normal(rws.size))
+
+
 rows = []  # (active, skipped, s, measured_us)
 for name in NAMES:
-    csr = generate.get_matrix(name)
+    if name.startswith("skipcal_"):
+        csr = _skipcal(int(name.split("_")[1]))
+    else:
+        csr = generate.get_matrix(name)
     tm = tile_create(csr)
     for s in S_CHOICES:
         plan = build_lane_plan(tm, stream_s_batch=s)
