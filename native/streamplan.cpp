@@ -185,11 +185,14 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
             // can win (64 windows of ~11 slabs want s_batch 11, not 8
             // or 16); active steps pay a fixed cost, empty windows one
             // skippable step
-            // refit on v5e round 3 (scripts/calibrate_slab_ns.py) —
-            // keep in sync with stream_plan.SLAB_NS/STEP_NS/SKIP_NS
+            // refit on v5e rounds 3-4 (scripts/calibrate_slab_ns.py) —
+            // keep in sync with stream_plan.SLAB_NS/STEP_NS/skip_ns:
+            // skipped steps still DMA their dead slab slots, so their
+            // cost scales with s (round-4 skipcal matrices)
             const double anchor_ns[5] = {146.6, 113.0, 90.6, 87.2,
                                          77.8};
-            const double step_ns = 252.0, skip_ns = 60.0;
+            const double step_ns = 267.0;
+            const double skip0_ns = 179.0, skip_slot_ns = 47.5;
             auto slab_ns = [&](int s) {
                 const double l = std::log2((double)s);
                 if (l <= 0.0) return anchor_ns[0];
@@ -203,7 +206,8 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
                 if (slabs_per_win[w] == 0) ++skipped;
             double best_cost = -1.0;
             for (int s = 1; s <= 16; ++s) {
-                double cost = (double)skipped * skip_ns;
+                double cost = (double)skipped
+                              * (skip0_ns + skip_slot_ns * s);
                 const double per_step = step_ns + s * slab_ns(s);
                 for (int64_t w = 0; w < nwin; ++w) {
                     if (slabs_per_win[w] == 0) continue;

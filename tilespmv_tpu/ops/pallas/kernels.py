@@ -266,14 +266,17 @@ def _boundary_gather(cs, idx, t: int):
     return out
 
 
-def _prefix_route_block(yc, meta_ref, b, t: int, utri_ref, acc_dtype):
+def _prefix_route_block(yc, meta_ref, b, t: int, utri_ref, acc_dtype,
+                        base_row: int = DENSE_MROWS):
     """Route a chunk result to its (16, ROW_WINDOW) output block via a
     lane prefix + boundary differences: lanes are lrow-sorted with lane
     0 inert (lane_plan._chunk_metadata prefix_route), cs = yc @ UTRI
     (exact 3-way bf16 split, f32 accumulation), and row r's block is
-    cs[:, rend[r]] - cs[:, rend_prev[r]] with plan-time index planes.
-    Replaces the one-hot compare/select build (~18% of the f32 chunk
-    time, round-3 ablation 489 -> 404 ns/chunk)."""
+    cs[:, rend[r]] - cs[:, rend_prev[r]] with plan-time index planes
+    at meta rows base_row.. (DENSE_MROWS for the dense class,
+    sparse_meta_rows(W) for the W-classes). Replaces the one-hot
+    compare/select build (~18% of the f32 chunk time; measured 402.6
+    vs 551.6 ns/chunk on mixed_large's dense class)."""
     cs = _split_dot3(yc, utri_ref[...]) if acc_dtype == jnp.float32 \
         else jax.lax.dot(yc, utri_ref[...].astype(acc_dtype),
                          precision=_HIPREC,
@@ -281,7 +284,7 @@ def _prefix_route_block(yc, meta_ref, b, t: int, utri_ref, acc_dtype):
     rpp = -(-ROW_WINDOW // t)
     halves = []
     for h in range(ROW_WINDOW // 128):
-        row = DENSE_MROWS + (h * 128) // t
+        row = base_row + (h * 128) // t
         col = (h * 128) % t
         ie = meta_ref[b, row, col: col + 128]
         ip = meta_ref[b, row + rpp, col: col + 128]
@@ -366,17 +369,23 @@ def _dense_kernel(pb, cw, cfirst,                  # scalar prefetch
 
 
 def _sparse_kernel(pb, cw, cfirst,
-                   *refs,      # panels, ltri, val, meta[, prev], out
+                   *refs,  # panels, ltri[, utri], val, meta[, prev], out
                    width: int, t: int, k_panels: int, c_batch: int,
                    acc_dtype, has_prev: bool = False,
-                   interpret: bool = False):
+                   interpret: bool = False, route: str = "onehot"):
     """Packed sparse-entry class: see module doc stage 2. Entry slots are
     row-sorted with slot 0 a reserved zero, so the 16 per-row sums are
     boundary differences of one inclusive prefix over slots."""
     panel_refs = refs[:k_panels]
     out_ref = refs[-1]
     prev_ref = refs[-2] if has_prev else None
-    ltri_ref, val_ref, meta_ref = refs[k_panels: k_panels + 3]
+    prefix = route == "prefix" and not interpret
+    if prefix:
+        ltri_ref, utri_ref, val_ref, meta_ref = \
+            refs[k_panels: k_panels + 4]
+    else:
+        utri_ref = None
+        ltri_ref, val_ref, meta_ref = refs[k_panels: k_panels + 3]
     panels = [pr[0].astype(acc_dtype) for pr in panel_refs]
     i = pl.program_id(0)
     W = width
@@ -422,8 +431,13 @@ def _sparse_kernel(pb, cw, cfirst,
         gprev = jnp.concatenate(
             [jnp.zeros((1, t), acc_dtype), g[: _B - 1]], axis=0)
         yc = g - gprev
-        blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
-                                  interpret))
+        if prefix:
+            blks.append(_prefix_route_block(
+                yc, meta_ref, b, t, utri_ref, acc_dtype,
+                base_row=sparse_meta_rows(W)))
+        else:
+            blks.append(_window_block(yc, meta_ref, b, t, acc_dtype,
+                                      interpret))
     _write_out(i, cfirst, _tree_sum(blks), out_ref, prev_ref)
 
 
@@ -674,33 +688,41 @@ def sparse_class_call(s: SparseChunks, x_panels: jax.Array,
     (accumulated in-kernel instead of by an XLA add)."""
     acc_dtype = (jnp.float32 if x_panels.dtype != jnp.float64
                  else jnp.float64)
-    mrows = sparse_meta_rows(s.width)
+    prefix = (s.route == "prefix" and not interpret
+              and acc_dtype == jnp.float32)
     kernel = functools.partial(_sparse_kernel, width=s.width, t=s.t_lanes,
                                k_panels=s.k_panels, c_batch=s.c_batch,
                                acc_dtype=acc_dtype,
                                has_prev=prev is not None,
-                               interpret=interpret)
+                               interpret=interpret,
+                               route="prefix" if prefix else "onehot")
     tensor_specs = [
         _chunk_spec((s.width, s.t_lanes), lead=s.c_batch),    # val
-        _chunk_spec((mrows, s.t_lanes), lead=s.c_batch),      # meta
+        _chunk_spec((s.meta.shape[1], s.t_lanes), lead=s.c_batch),
     ]
     ltri = jnp.asarray(np.tril(np.ones((s.width, s.width), np.float32)))
+    utri_args = ()
+    extra_vmem = 1
+    if prefix:
+        utri_args = (jnp.asarray(np.triu(
+            np.ones((s.t_lanes, s.t_lanes), np.float32))),)
+        extra_vmem = 2
     nsteps = s.cw.shape[0]
     prev_args = () if prev is None else (prev,)
     with _x32_trace():
         return pl.pallas_call(
             kernel,
             grid_spec=_grid_spec(nsteps, s.k_panels, tensor_specs,
-                                 extra_vmem=1,
+                                 extra_vmem=extra_vmem,
                                  with_prev=prev is not None),
             out_shape=jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
                                            acc_dtype),
             input_output_aliases=(
-                _alias_map(s.k_panels, 1, 2, 1) if prev is not None
-                else {}),
+                _alias_map(s.k_panels, extra_vmem, 2, 1)
+                if prev is not None else {}),
             interpret=interpret,
-        )(s.pb, s.cw, s.cfirst, *([x_panels] * s.k_panels), ltri, s.val,
-          s.meta, *prev_args)
+        )(s.pb, s.cw, s.cfirst, *([x_panels] * s.k_panels), ltri,
+          *utri_args, s.val, s.meta, *prev_args)
 
 
 def band_class_call(bd: BandChunks, x_panels: jax.Array, n_windows: int,
@@ -977,14 +999,14 @@ def sparse_spmm_call(s: SparseChunks, x_panels_k: jax.Array,
                      n_windows: int, k_rhs: int,
                      interpret: bool = False) -> jax.Array:
     """Fused W-class SpMM; layout as dense_spmm_call."""
-    mrows = sparse_meta_rows(s.width)
     kernel = functools.partial(_sparse_spmm_kernel, width=s.width,
                                t=s.t_lanes, k_panels=s.k_panels,
                                c_batch=s.c_batch, k_rhs=k_rhs,
                                acc_dtype=jnp.float32, interpret=interpret)
     tensor_specs = [
         _chunk_spec((s.width, s.t_lanes), lead=s.c_batch),    # val
-        _chunk_spec((mrows, s.t_lanes), lead=s.c_batch),      # meta
+        # meta may carry prefix-route rows; SpMM routes via META_LROW
+        _chunk_spec((s.meta.shape[1], s.t_lanes), lead=s.c_batch),
     ]
     ltri = jnp.asarray(np.tril(np.ones((s.width, s.width), np.float32)))
     nsteps = s.cw.shape[0]

@@ -187,6 +187,10 @@ class SparseChunks:
                                       metadata=dict(static=True))
     c_batch: int = dataclasses.field(default=1,
                                      metadata=dict(static=True))
+    # window routing: "onehot" matmul or "prefix" boundary gathers over
+    # appended meta rows (see DenseChunks.route)
+    route: str = dataclasses.field(default="onehot",
+                                   metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -821,9 +825,12 @@ def empty_dense_class(n_windows: int, t_lanes: int,
 
 def empty_sparse_class(n_windows: int, width: int = 16,
                        compute_dtype=jnp.float32,
-                       k_panels: int = 1) -> SparseChunks:
+                       k_panels: int = 1,
+                       route: str = "onehot") -> SparseChunks:
     cdt = np.dtype(compute_dtype)
-    mrows = sparse_meta_rows(width)
+    rpp = -(-ROW_WINDOW // SPARSE_T)
+    mrows = sparse_meta_rows(width) + (2 * rpp if route == "prefix"
+                                       else 0)
     meta = np.zeros((n_windows, mrows, SPARSE_T), np.int32)
     meta[:, META_XLOC] = -1
     return SparseChunks(
@@ -832,7 +839,7 @@ def empty_sparse_class(n_windows: int, width: int = 16,
         pb=jnp.zeros(n_windows * k_panels, jnp.int32),
         cw=jnp.asarray(np.arange(n_windows, dtype=np.int32)),
         cfirst=jnp.ones(n_windows, jnp.int32),
-        width=width, t_lanes=SPARSE_T, k_panels=k_panels)
+        width=width, t_lanes=SPARSE_T, k_panels=k_panels, route=route)
 
 
 def _pack_sparse_class(trow, tcol, counts, r, c, v, width: int,
@@ -841,11 +848,13 @@ def _pack_sparse_class(trow, tcol, counts, r, c, v, width: int,
     row-sorted per tile, counts <= width-1) into a width-W class."""
     W = width
     T = SPARSE_T
+    route = DENSE_ROUTE if cdt != np.dtype(np.float64) else "onehot"
     chunk_bytes = (W * T + sparse_meta_rows(W) * T) * 4
     K = 4 if force_cb1 else _pick_k(trow, tcol, T)
     cb = 1 if force_cb1 else _pick_cb(trow, tcol, tilem, T, K, chunk_bytes)
     K = 4 if force_cb1 else _pick_k(trow, tcol, cb * T)
-    md = _chunk_metadata(trow, tcol, tilem, T, K, cb)
+    md = _chunk_metadata(trow, tcol, tilem, T, K, cb,
+                         prefix_route=route == "prefix")
     nchunks = md["nchunks"]
 
     # tile -> (chunk, lane)
@@ -866,10 +875,19 @@ def _pack_sparse_class(trow, tcol, counts, r, c, v, width: int,
     val = np.zeros((nchunks, W, T), cdt)
     val[ech, slot, eln] = v.astype(cdt)
 
-    mrows = sparse_meta_rows(W)
+    base_rows = sparse_meta_rows(W)
+    rpp = -(-ROW_WINDOW // T)
+    mrows = base_rows + (2 * rpp if route == "prefix" else 0)
     meta = np.zeros((nchunks, mrows, T), np.int32)
     meta[:, META_XLOC] = md["xloc"]
     meta[:, META_LROW] = md["lrow"]
+    if route == "prefix":
+        # window-routing boundary planes appended after the class rows
+        for rr in range(rpp):
+            seg = slice(rr * T, (rr + 1) * T)
+            wseg = md["rend"][:, seg].shape[1]
+            meta[:, base_rows + rr, :wseg] = md["rend"][:, seg]
+            meta[:, base_rows + rpp + rr, :wseg] = md["rend_prev"][:, seg]
     # 4-bit columns, 8 per int32 word: slot s -> word s//8, nibble s%8
     colw = np.zeros((nchunks, W // 8, T), np.uint32)
     np.add.at(colw, (ech, slot // 8, eln),
@@ -890,7 +908,8 @@ def _pack_sparse_class(trow, tcol, counts, r, c, v, width: int,
         val=jnp.asarray(val), meta=jnp.asarray(meta),
         pb=jnp.asarray(md["pb"]), cw=jnp.asarray(md["cw"]),
         cfirst=jnp.asarray(md["cfirst"]),
-        width=W, t_lanes=T, k_panels=K, c_batch=cb), md["n_windows"]
+        width=W, t_lanes=T, k_panels=K, c_batch=cb,
+        route=route), md["n_windows"]
 
 
 def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):

@@ -191,9 +191,23 @@ def empty_stream_chunks(n_windows: int,
 # extra padding — so S_MAX stays 16). SKIP_NS was unconstrained by the
 # refit (no calibration matrix had skipped steps); keep the estimate.
 SLAB_NS = {1: 146.6, 2: 113.0, 4: 90.6, 8: 87.2, 16: 77.8}
-STEP_NS = 252.0
-SKIP_NS = 60.0
+STEP_NS = 267.0
+# a SKIPPED (all-padding) step is NOT nearly free: the Pallas pipeline
+# still DMAs its s_batch dead slabs' val/vidx/plane chunks, so the cost
+# scales with the step's slab slots. Round-4 on-chip refit over the
+# skipcal matrices (empty windows finally constrained it; the round-3
+# 60 ns flat estimate was 11x off at s=16):
+#   skip_ns(s) = 179 + 47.5 * s
+SKIP0_NS = 179.0
+SKIP_SLOT_NS = 47.5
+# round-3 compat alias (tests/scripts referenced the flat constant)
+SKIP_NS = SKIP0_NS + SKIP_SLOT_NS * 4
 S_MAX = 16
+
+
+def skip_ns(s: int) -> float:
+    """Cost of one skipped step at `s` slabs/step (dead-slab DMAs)."""
+    return SKIP0_NS + SKIP_SLOT_NS * s
 # second stream dispatch + scheduling slack when the class is split into
 # a (base, heavy) pair (see split_stream_chunks)
 EXTRA_CLASS_NS = 4000.0
@@ -214,9 +228,9 @@ def slab_ns(s: int) -> float:
 def _window_costs(counts: np.ndarray, s: int) -> np.ndarray:
     """Per-window cost at s slabs/step: ceil(c/s) steps, each paying the
     step cost plus s slab slots (padding bills at the class rate);
-    empty windows one skippable step."""
+    empty windows one skipped step whose DMA cost scales with s."""
     return np.where(
-        counts == 0, SKIP_NS,
+        counts == 0, skip_ns(s),
         (-(-counts // s)).astype(np.float64) * (STEP_NS + s * slab_ns(s)))
 
 

@@ -232,7 +232,7 @@ def _unify_lane_plans(plans: list) -> list:
             return DenseChunks(t_lanes=t, k_panels=c.k_panels,
                                df64=c.df64, route=c.route, **kw)
         return SparseChunks(width=c.width, t_lanes=t,
-                            k_panels=c.k_panels, **kw)
+                            k_panels=c.k_panels, route=c.route, **kw)
 
     route_dense = next((p.dense.route for p in plans
                         if p.dense is not None), "onehot")
@@ -299,12 +299,15 @@ def _unify_lane_plans(plans: list) -> list:
     widths = sorted({s.width for p in plans for s in p.sparses})
     sparses = [[] for _ in plans]
     for w in widths:
+        route_w = next((s.route for p in plans for s in p.sparses
+                        if s.width == w), "onehot")
         per = []
         for p in plans:
             match = [s for s in p.sparses if s.width == w]
             per.append(match[0] if match
                        else empty_sparse_class(n_windows, w, cdt,
-                                               k_panels=4))
+                                               k_panels=4,
+                                               route=route_w))
         ns = max(s.val.shape[0] for s in per)
         for i, s in enumerate(per):
             sparses[i].append(pad_class(s, ns, n_windows, False))
