@@ -176,3 +176,23 @@ def test_fused_band_spmm_matches_golden():
     Y = np.asarray(op.matmat(xs))
     ref = csr.to_dense().astype(np.float64) @ xs
     assert np.max(np.abs(Y - ref) / (1 + np.abs(ref))) < 1e-4
+
+
+def test_window_sparse_coo_absorbed_into_w_class():
+    """Window-sparse COO singletons (stencil corner entries) leave the
+    stream engine: 256 one-slab steps at 12% fill measured ~106 us on
+    v5e vs ~35 us absorbed into W16 (round 4). Window-dense populations
+    (powerlaw) must keep the stream engine."""
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    st = TileSpMV(generate.stencil_2d(128, 128, seed=3),
+                  backend="pallas")
+    kinds = {c["kind"] for c in st.plan.summary()["classes"]}
+    assert "stream" not in kinds and "w16" in kinds
+    x = ((np.arange(st.shape[1]) % 10) / 4.0).astype(np.float32)
+    ref = generate.stencil_2d(128, 128, seed=3).matvec(x.astype(
+        np.float64))
+    np.testing.assert_allclose(np.asarray(st(x)), ref, rtol=1e-4,
+                               atol=1e-5)
+    pw = TileSpMV(generate.power_law(8192, 8192, 16, seed=4),
+                  backend="pallas")
+    assert "stream" in {c["kind"] for c in pw.plan.summary()["classes"]}

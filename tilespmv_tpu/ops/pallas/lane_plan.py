@@ -83,6 +83,14 @@ MIN_CLASS_TILES = 512  # merge thinner classes upward (per-call overhead)
 # COO tiles go to a sparse class instead of the stream engine when their
 # mean entry count crosses this (measured: stream wins near 1 nnz/tile)
 COO_SPARSE_MIN_AVG = 4.0
+# ... and even near-singleton populations leave the stream engine when
+# they are WINDOW-sparse: a (window, span) group far below slab capacity
+# pads its slab and still pays the full step cost (a 5-point stencil's
+# 31744 corner singletons cost ~106 us as 256 one-slab steps at 12%
+# fill, vs ~35 us absorbed into the W16 class). The absorb estimate
+# must beat the stream cost model by this factor to flip the routing —
+# stream is the measured-calibrated engine, so ties keep it.
+STREAM_ABSORB_MARGIN = 0.7
 # df64 densification keeps a (window, round) tile group only when it can
 # fill this many of the chunk's T lanes; deeper/thinner groups run as
 # entries in the exact df64 stream engine (heavy tile-rows otherwise
@@ -96,11 +104,19 @@ DF64_ROUND_FILL_MIN = 12
 META_XLOC = 0
 META_LROW = 1
 DENSE_MROWS = 2
-# f32 dense-class routing (see DenseChunks.route): "prefix" replaces the
-# per-chunk one-hot build (18% of chunk time, round-3 ablation) with a
-# triangular-MXU lane prefix + boundary-difference gathers over
-# plan-time rend planes (meta rows DENSE_MROWS..DENSE_MROWS+2*rpp)
-DENSE_ROUTE = "prefix"
+# f32 window routing for the dense AND W-classes (see
+# DenseChunks.route): "prefix" replaces the per-chunk one-hot build
+# with a triangular-MXU lane prefix + boundary-difference gathers over
+# plan-time rend planes (meta rows DENSE_MROWS..DENSE_MROWS+2*rpp).
+# Default is ONE-HOT: the prefix route's original win (402.6 vs 551.6
+# ns/chunk, commit 0184488) did NOT replicate the next day — the same
+# script gave onehot 407-417 vs prefix 559-640, twice, and the
+# interleaved full-SpMV arbiter (scripts/ab_route_e2e.py, arms
+# alternated A,B,B,A within one process so tunnel drift cancels)
+# measured onehot 148.5 us vs prefix 172.3 us e2e on mixed_large in
+# all 4 rounds. Keep the prefix implementation: it is exact, tested,
+# and re-flippable if a future chip inverts the trade again.
+DENSE_ROUTE = "onehot"
 
 # band (brick) class: tile-row stripes whose non-COO tiles span at most
 # BAND_MAX_COLS consecutive tile-columns become one dense (16, 16*C)
@@ -1015,6 +1031,49 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
     return band, tile_mask
 
 
+def _coo_stream_cost_ns(g_row: np.ndarray, g_col: np.ndarray,
+                        m: int) -> float:
+    """Stream-engine cost estimate for an entry population, using the
+    calibrated step/slab/skip model at the geometry and s_batch the
+    builder itself would pick (stream_plan.pick_geometry /
+    pick_s_batch)."""
+    from . import stream_plan as sp
+    span, dual = sp.pick_geometry(g_row, g_col, m)
+    uw, uq, uc, nq = sp._occupied_cells(g_row, g_col)
+    C, gwin = sp._group_counts_cells(uw, uq, uc, nq, span)
+    per_group = (-(-C.max(axis=1) // sp.CAP)).astype(np.int64)
+    nwin = max(1, -(-m // sp.RW_ROWS))
+    wcnt = np.zeros(nwin, np.int64)
+    np.add.at(wcnt, gwin, per_group)
+    if dual:
+        # the sequential dual packing merges group tails; scale the
+        # mono per-window counts to the dual total (estimate only)
+        ratio = sp._dual_slab_count(C, gwin) / max(1, per_group.sum())
+        wcnt = np.maximum(wcnt > 0, np.rint(wcnt * ratio).astype(
+            np.int64))
+    s = sp.pick_s_batch(wcnt)
+    return float(sp._window_costs(wcnt, s).sum())
+
+
+def _coo_absorb_cost_ns(ctr: np.ndarray, ccounts: np.ndarray) -> float:
+    """Cost estimate of absorbing the COO tiles into the narrowest
+    sparse-entry class instead: per-chunk fixed + streamed chunk bytes
+    + per-slot gather work (the COST constants the tile router uses).
+    An estimate of the marginal chunks only — merging with existing
+    W-class tiles can only share chunks, so this is an upper bound."""
+    W = W_CHOICES[0]
+    win = ctr // ROW_WINDOW
+    wcnt = np.unique(win, return_counts=True)[1]
+    nchunks = int((-(-wcnt // (SPARSE_T - 1))).sum())
+    chunk_bytes = (W + sparse_meta_rows(W) + 4) * SPARSE_T * 4
+    # per chunk: fixed + streamed bytes + W slot-blocks of sublane
+    # gathers (the same three terms the tile router's COST anchors to
+    # the measured W96 = 355 ns/chunk)
+    return nchunks * (COST["sparse_chunk_ns"]
+                      + chunk_bytes / COST["hbm_b_per_ns"]
+                      + W * COST["sparse_slot_ns"])
+
+
 def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                     force_t: int | None = None,
                     use_stream: bool | None = None,
@@ -1044,6 +1103,21 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
     if use_stream is None:
         use_stream = (coo_entries >= STREAM_MIN_ENTRIES
                       and coo_avg < COO_SPARSE_MIN_AVG)
+        if use_stream:
+            # window-sparse populations (entries per (window, span)
+            # group far below slab capacity) pad slabs and pay per-step
+            # cost; reroute to the W-classes when the absorb estimate
+            # clearly wins (see STREAM_ABSORB_MARGIN)
+            ccounts0 = np.diff(bk.nnz_ptr)
+            owner0 = np.repeat(np.arange(bk.num_tiles), ccounts0)
+            ctr0 = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
+            g_r = ctr0[owner0] * b + bk.row
+            g_c = (tm.tile_columnidx[bk.tile_ids[owner0]]
+                   .astype(np.int64) * b + bk.col)
+            if (_coo_absorb_cost_ns(ctr0, ccounts0)
+                    < STREAM_ABSORB_MARGIN
+                    * _coo_stream_cost_ns(g_r, g_c, tm.m)):
+                use_stream = False
     if not use_stream and bk.num_tiles:
         ccounts = np.diff(bk.nnz_ptr)
         ctr = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
