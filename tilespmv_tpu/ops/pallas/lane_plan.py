@@ -1032,14 +1032,17 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
 
 
 def _coo_stream_cost_ns(g_row: np.ndarray, g_col: np.ndarray,
-                        m: int) -> float:
+                        m: int) -> tuple[float, int, bool]:
     """Stream-engine cost estimate for an entry population, using the
     calibrated step/slab/skip model at the geometry and s_batch the
     builder itself would pick (stream_plan.pick_geometry /
-    pick_s_batch)."""
+    pick_s_batch). Returns (cost_ns, span_rows, dual) so the caller can
+    hand the already-picked geometry to the builder instead of paying
+    the occupied-cells sort twice."""
     from . import stream_plan as sp
-    span, dual = sp.pick_geometry(g_row, g_col, m)
-    uw, uq, uc, nq = sp._occupied_cells(g_row, g_col)
+    cells = sp._occupied_cells(g_row, g_col)
+    span, dual = sp.pick_geometry(g_row, g_col, m, cells=cells)
+    uw, uq, uc, nq = cells
     C, gwin = sp._group_counts_cells(uw, uq, uc, nq, span)
     per_group = (-(-C.max(axis=1) // sp.CAP)).astype(np.int64)
     nwin = max(1, -(-m // sp.RW_ROWS))
@@ -1052,7 +1055,7 @@ def _coo_stream_cost_ns(g_row: np.ndarray, g_col: np.ndarray,
         wcnt = np.maximum(wcnt > 0, np.rint(wcnt * ratio).astype(
             np.int64))
     s = sp.pick_s_batch(wcnt)
-    return float(sp._window_costs(wcnt, s).sum())
+    return float(sp._window_costs(wcnt, s).sum()), span, dual
 
 
 def _coo_absorb_cost_ns(ctr: np.ndarray, ccounts: np.ndarray) -> float:
@@ -1062,8 +1065,9 @@ def _coo_absorb_cost_ns(ctr: np.ndarray, ccounts: np.ndarray) -> float:
     An estimate of the marginal chunks only — merging with existing
     W-class tiles can only share chunks, so this is an upper bound."""
     W = W_CHOICES[0]
-    win = ctr // ROW_WINDOW
-    wcnt = np.unique(win, return_counts=True)[1]
+    # bincount, not unique: ctr can be millions of tiles and the window
+    # id range is tiny (tilem / ROW_WINDOW)
+    wcnt = np.bincount(ctr // ROW_WINDOW)
     nchunks = int((-(-wcnt // (SPARSE_T - 1))).sum())
     chunk_bytes = (W + sparse_meta_rows(W) + 4) * SPARSE_T * 4
     # per chunk: fixed + streamed bytes + W slot-blocks of sublane
@@ -1100,24 +1104,37 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
     bk = tm.coo
     coo_entries = int(bk.val.shape[0]) if bk.num_tiles else 0
     coo_avg = coo_entries / max(1, bk.num_tiles) if bk.num_tiles else 0.0
+    coo_g = None            # (g_row, g_col) of the COO entries, if the
+    #                         absorb decision below already built them
     if use_stream is None:
         use_stream = (coo_entries >= STREAM_MIN_ENTRIES
                       and coo_avg < COO_SPARSE_MIN_AVG)
-        if use_stream:
+        if use_stream and cdt != np.dtype(np.float64):
             # window-sparse populations (entries per (window, span)
             # group far below slab capacity) pad slabs and pay per-step
             # cost; reroute to the W-classes when the absorb estimate
-            # clearly wins (see STREAM_ABSORB_MARGIN)
+            # clearly wins (see STREAM_ABSORB_MARGIN). f64 keeps the
+            # plain rule: its W-classes densify (or stream) anyway, so
+            # absorbed singletons would just bounce back via
+            # DF64_ROUND_FILL_MIN.
             ccounts0 = np.diff(bk.nnz_ptr)
             owner0 = np.repeat(np.arange(bk.num_tiles), ccounts0)
             ctr0 = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
             g_r = ctr0[owner0] * b + bk.row
             g_c = (tm.tile_columnidx[bk.tile_ids[owner0]]
                    .astype(np.int64) * b + bk.col)
-            if (_coo_absorb_cost_ns(ctr0, ccounts0)
-                    < STREAM_ABSORB_MARGIN
-                    * _coo_stream_cost_ns(g_r, g_c, tm.m)):
+            stream_ns, a_span, a_dual = _coo_stream_cost_ns(g_r, g_c,
+                                                            tm.m)
+            if _coo_absorb_cost_ns(ctr0, ccounts0) \
+                    < STREAM_ABSORB_MARGIN * stream_ns:
                 use_stream = False
+            else:
+                coo_g = (g_r, g_c)
+                if stream_span_rows is None and stream_dual is None:
+                    # hand the already-picked geometry to the builder
+                    # (the occupied-cells sort dominates planning on
+                    # stream-heavy matrices; don't pay it twice)
+                    stream_span_rows, stream_dual = a_span, a_dual
     if not use_stream and bk.num_tiles:
         ccounts = np.diff(bk.nnz_ptr)
         ctr = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
@@ -1300,12 +1317,16 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
         s_rows, s_cols, s_vals = [stream_extra[0]], [stream_extra[1]], \
             [stream_extra[2]]
         if use_stream and bk.num_tiles:
-            ccounts = np.diff(bk.nnz_ptr)
-            owner = np.repeat(np.arange(bk.num_tiles), ccounts)
-            s_rows.append(tm.tile_rowidx[bk.tile_ids[owner]]
-                          .astype(np.int64) * b + bk.row)
-            s_cols.append(tm.tile_columnidx[bk.tile_ids[owner]]
-                          .astype(np.int64) * b + bk.col)
+            if coo_g is not None:
+                s_rows.append(coo_g[0])
+                s_cols.append(coo_g[1])
+            else:
+                ccounts = np.diff(bk.nnz_ptr)
+                owner = np.repeat(np.arange(bk.num_tiles), ccounts)
+                s_rows.append(tm.tile_rowidx[bk.tile_ids[owner]]
+                              .astype(np.int64) * b + bk.row)
+                s_cols.append(tm.tile_columnidx[bk.tile_ids[owner]]
+                              .astype(np.int64) * b + bk.col)
             s_vals.append(bk.val.astype(np.float64))
         g_row = np.concatenate(s_rows)
         g_col = np.concatenate(s_cols)

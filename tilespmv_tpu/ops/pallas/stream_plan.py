@@ -385,16 +385,21 @@ def _dual_slab_count(C: np.ndarray, gwin: np.ndarray) -> int:
     return total
 
 
-def pick_geometry(g_row: np.ndarray, g_col: np.ndarray, m: int):
+def pick_geometry(g_row: np.ndarray, g_col: np.ndarray, m: int,
+                  cells=None):
     """Jointly pick (span_rows, dual) by the slab cost model.
 
     Mono slabs pay SLAB_FLOOR + STAGE_CHUNK per x chunk (span_rows/8
     chunks); dual slabs stage TWO spans (double the chunks) but the
     sequential packing merges group tails, so hypersparse populations
     trade staging for fill. A non-default geometry must beat the
-    (64, mono) default by >5% (same hysteresis as pick_span_rows)."""
+    (64, mono) default by >5% (same hysteresis as pick_span_rows).
+    `cells` takes a precomputed _occupied_cells result (the O(nz log
+    nz) sort dominates planning on big populations — callers that
+    already have it must not pay it twice)."""
     best, best_cost, cost_default = (SPAN_CHOICES[0], False), None, None
-    uw, uq, uc, nq = _occupied_cells(g_row, g_col)
+    uw, uq, uc, nq = (cells if cells is not None
+                      else _occupied_cells(g_row, g_col))
     for r in SPAN_CHOICES:
         C, gwin = _group_counts_cells(uw, uq, uc, nq, r)
         s_mono = int((-(-C.max(axis=1) // CAP)).sum())
