@@ -110,3 +110,29 @@ def test_lane_plan_bytes_and_flops():
     plan = build_lane_plan(tm)
     assert plan.flops() == 2 * csr.nnz
     assert plan.bytes_accessed() > 0
+
+
+def test_prefix_route_matches_golden():
+    """The prefix dense/W routing (triangular-MXU lane prefix + boundary
+    gathers over plan-time rend planes) lost the round-4 interleaved e2e
+    arbitration and is no longer the default, but stays exact and
+    re-flippable (lane_plan.DENSE_ROUTE comment). Pin its correctness so
+    the non-default path cannot silently rot (round-4 advisor)."""
+    from tilespmv_tpu.ops.pallas import lane_plan
+    csr = generate.mixed_structure(1024, 1024, seed=16)
+    tm = tile_create(csr)
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    y_golden = csr.to_dense().astype(np.float32) @ x
+    old = lane_plan.DENSE_ROUTE
+    try:
+        lane_plan.DENSE_ROUTE = "prefix"
+        # fresh plan per route: flipping the module variant does not
+        # re-trace an existing op's jit cache (CLAUDE.md round-4 gotcha)
+        plan = build_lane_plan(tm)
+        assert plan.dense is not None and plan.dense.route == "prefix"
+        # prefix meta planes present: DENSE_MROWS + 2 * rpp rows
+        assert plan.dense.meta.shape[1] > lane_plan.DENSE_MROWS
+        y = np.asarray(spmv_pallas(plan, jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(y, y_golden, rtol=2e-4, atol=1e-4)
+    finally:
+        lane_plan.DENSE_ROUTE = old

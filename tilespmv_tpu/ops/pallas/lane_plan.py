@@ -91,6 +91,9 @@ COO_SPARSE_MIN_AVG = 4.0
 # must beat the stream cost model by this factor to flip the routing —
 # stream is the measured-calibrated engine, so ties keep it.
 STREAM_ABSORB_MARGIN = 0.7
+# last (absorb_ns, stream_ns) estimate pair from build_lane_plan's
+# COO routing decision, for observability (round-4 advisor)
+LAST_ABSORB_ESTIMATE = None
 # df64 densification keeps a (window, round) tile group only when it can
 # fill this many of the chunk's T lanes; deeper/thinner groups run as
 # entries in the exact df64 stream engine (heavy tile-rows otherwise
@@ -1054,28 +1057,36 @@ def _coo_stream_cost_ns(g_row: np.ndarray, g_col: np.ndarray,
         ratio = sp._dual_slab_count(C, gwin) / max(1, per_group.sum())
         wcnt = np.maximum(wcnt > 0, np.rint(wcnt * ratio).astype(
             np.int64))
-    s = sp.pick_s_batch(wcnt)
-    return float(sp._window_costs(wcnt, s).sum()), span, dual
+    # price with the same two-rate split the real build uses (round-4
+    # advisor: a single pick_s_batch rate overestimated the stream side,
+    # biasing borderline matrices toward absorb)
+    s1, s2, heavy = sp.pick_stream_split(wcnt)
+    if s2 is None:
+        cost = float(sp._window_costs(wcnt, s1).sum())
+    else:
+        cost = float(np.where(heavy, sp._window_costs(wcnt, s2),
+                              sp._window_costs(wcnt, s1)).sum()
+                     ) + sp.EXTRA_CLASS_NS
+    return cost, span, dual
 
 
-def _coo_absorb_cost_ns(ctr: np.ndarray, ccounts: np.ndarray) -> float:
-    """Cost estimate of absorbing the COO tiles into the narrowest
-    sparse-entry class instead: per-chunk fixed + streamed chunk bytes
-    + per-slot gather work (the COST constants the tile router uses).
-    An estimate of the marginal chunks only — merging with existing
-    W-class tiles can only share chunks, so this is an upper bound."""
-    W = W_CHOICES[0]
-    # bincount, not unique: ctr can be millions of tiles and the window
-    # id range is tiny (tilem / ROW_WINDOW)
-    wcnt = np.bincount(ctr // ROW_WINDOW)
-    nchunks = int((-(-wcnt // (SPARSE_T - 1))).sum())
-    chunk_bytes = (W + sparse_meta_rows(W) + 4) * SPARSE_T * 4
-    # per chunk: fixed + streamed bytes + W slot-blocks of sublane
-    # gathers (the same three terms the tile router's COST anchors to
-    # the measured W96 = 355 ns/chunk)
-    return nchunks * (COST["sparse_chunk_ns"]
-                      + chunk_bytes / COST["hbm_b_per_ns"]
-                      + W * COST["sparse_slot_ns"])
+def _coo_absorb_cost_ns(ctr: np.ndarray, ctc: np.ndarray,
+                        ccounts: np.ndarray, tilem: int) -> float:
+    """Cost estimate of absorbing the COO tiles into the sparse-entry
+    W-classes instead: the router's own _sparse_cost model (step +
+    panel traffic + chunk bytes + per-slot gather), per width class the
+    tiles would actually land in (round-4 advisor: the old ad-hoc
+    formula assumed every tile fits a W16 slot and priced chunk bytes
+    inconsistently with _sparse_cost). An estimate of the marginal
+    chunks only — merging with existing W-class tiles can only share
+    chunks, so this is an upper bound."""
+    band_idx = np.searchsorted(np.asarray(W_CHOICES), ccounts + 1)
+    cost = 0.0
+    for k in np.unique(band_idx):
+        sel = band_idx == k
+        W = W_CHOICES[min(int(k), len(W_CHOICES) - 1)]
+        cost += _sparse_cost(ctr[sel], ctc[sel], W, tilem)
+    return cost
 
 
 def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
@@ -1125,8 +1136,14 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                    .astype(np.int64) * b + bk.col)
             stream_ns, a_span, a_dual = _coo_stream_cost_ns(g_r, g_c,
                                                             tm.m)
-            if _coo_absorb_cost_ns(ctr0, ccounts0) \
-                    < STREAM_ABSORB_MARGIN * stream_ns:
+            ctc0 = tm.tile_columnidx[bk.tile_ids].astype(np.int64)
+            absorb_ns = _coo_absorb_cost_ns(ctr0, ctc0, ccounts0,
+                                            tm.tilem)
+            # observability hook (round-4 advisor): the decision-table
+            # script and tests read the last estimate pair
+            global LAST_ABSORB_ESTIMATE
+            LAST_ABSORB_ESTIMATE = (absorb_ns, stream_ns)
+            if absorb_ns < STREAM_ABSORB_MARGIN * stream_ns:
                 use_stream = False
             else:
                 coo_g = (g_r, g_c)
@@ -1253,9 +1270,10 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
                                             kp, chunk_bytes)
             kp = 4 if force_t else _pick_k(dtr, dtc, cb * t_lanes)
         df64 = cdt == np.dtype(np.float64)
-        # f32 dense routes by prefix + boundary gather (DENSE_ROUTE);
-        # df64 keeps the exact-3 one-hot (its compensated accumulators
-        # cannot ride a plain prefix difference)
+        # f32 dense routes per DENSE_ROUTE (default one-hot — the
+        # prefix route lost the interleaved e2e arbitration, see the
+        # DENSE_ROUTE comment above); df64 always one-hot (its
+        # compensated accumulators cannot ride a prefix difference)
         route = DENSE_ROUTE if not df64 else "onehot"
         md = _chunk_metadata(dtr, dtc, tm.tilem, t_lanes, kp, cb,
                              unique_rows=df64,
