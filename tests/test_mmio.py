@@ -222,3 +222,24 @@ def test_cli_sweep_dir(tmp_path):
     assert "2/2 ok" in r.stdout
     lines = open(csv).read().strip().splitlines()
     assert len(lines) == 2   # one reference-schema row per matrix
+
+
+def test_save_mtx_complex_roundtrip(tmp_path):
+    # complex writer (mmio.h:780-830): `re im` pairs, im written as 0
+    # (CSRMatrix carries the real part only, matching the loader's
+    # complex handling at mmio_highlevel.h:648-676)
+    rng = np.random.default_rng(8)
+    rows = rng.integers(0, 35, 140)
+    cols = rng.integers(0, 35, 140)
+    vals = rng.standard_normal(140)
+    csr = csr_from_coo(35, 35, rows, cols, vals)
+    p = tmp_path / "c.mtx"
+    save_mtx(str(p), csr, field="complex")
+    hdr = open(p).readline()
+    assert "complex" in hdr
+    # body rows carry 4 columns: i j re im
+    first_entry = open(p).readlines()[2].split()
+    assert len(first_entry) == 4
+    back = load_mtx(str(p))
+    np.testing.assert_allclose(back.to_dense(), csr.to_dense(),
+                               rtol=1e-15)

@@ -233,17 +233,21 @@ def save_mtx(path: str, csr: CSRMatrix, field: str = "real",
              symmetry: str = "general") -> None:
     """Write a coordinate .mtx — the full writer set of the reference
     (mmio.h:26-28,142 banner/size writers + the crd writers at
-    :686-780): field real / integer / pattern, symmetry general /
-    symmetric. Bulk-formatted (np.savetxt) — a per-entry Python loop is
-    unusable for writing large matrices.
+    :686-830): field real / integer / pattern / complex, symmetry
+    general / symmetric. Bulk-formatted (np.savetxt) — a per-entry
+    Python loop is unusable for writing large matrices.
 
     * `pattern` drops the value column (the loader reads 1.0 back).
     * `integer` writes values as integers (they must be integral).
+    * `complex` writes `re im` value pairs (mmio.h:780-830). CSRMatrix
+      carries real values only (the loader keeps the real part of
+      complex files, mmio_highlevel.h:648-676), so the imaginary
+      column is written as 0 and values round-trip exactly.
     * `symmetric` writes only the lower triangle (entry (i, j) with
       j <= i); the matrix must actually be symmetric — the loader's
       expansion reconstructs the mirror on read.
     """
-    if field not in ("real", "integer", "pattern"):
+    if field not in ("real", "integer", "pattern", "complex"):
         raise MatrixMarketError(f"cannot write field {field!r}")
     if symmetry not in ("general", "symmetric"):
         raise MatrixMarketError(f"cannot write symmetry {symmetry!r}")
@@ -269,6 +273,12 @@ def save_mtx(path: str, csr: CSRMatrix, field: str = "real",
                     "integer writer given non-integral values")
             out = np.column_stack([rows + 1, cols + 1, iv])
             np.savetxt(f, out, fmt="%d %d %d")
+        elif field == "complex":
+            out = np.column_stack([
+                (rows + 1).astype(np.float64),
+                (cols + 1).astype(np.float64), vals,
+                np.zeros(vals.size)])
+            np.savetxt(f, out, fmt="%d %d %.17g %.17g")
         else:
             out = np.column_stack([
                 (rows + 1).astype(np.float64),
