@@ -68,3 +68,72 @@ def test_plan_summary():
     assert "stream" in kinds or "dense" in kinds
     import json
     json.dumps(s)          # must be JSON-serializable for the CLI
+
+
+def test_lane_plan_save_load_roundtrip(tmp_path):
+    """Round-4 verdict #4: plans serialize too (plan build, not
+    conversion, is the dominant host cost now). Byte-identical arrays
+    and a working operator after reload."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from tilespmv_tpu.core.serialize import (load_lane_plan,
+                                             save_lane_plan)
+    from tilespmv_tpu.ops.pallas.kernels import spmv_pallas
+    # mixed_structure routes dense + W-classes + stream; exercises
+    # optional fields (band=None, stream2 present or not)
+    csr = generate.mixed_structure(2048, 2048, seed=34)
+    op = TileSpMV(csr, backend="pallas")
+    p = str(tmp_path / "plan.npz")
+    save_lane_plan(p, op.plan)
+    back = load_lane_plan(p, device=False)
+
+    def _compare(a, b, path=""):
+        assert (a is None) == (b is None), path
+        if a is None:
+            return
+        if isinstance(a, tuple):
+            assert len(a) == len(b), path
+            for i, (ca, cb) in enumerate(zip(a, b)):
+                _compare(ca, cb, f"{path}.{i}")
+            return
+        if _dc.is_dataclass(a):
+            assert type(a).__name__ == type(b).__name__, path
+            for f in _dc.fields(a):
+                _compare(getattr(a, f.name), getattr(b, f.name),
+                         f"{path}.{f.name}")
+            return
+        if hasattr(a, "shape"):
+            av, bv = np.asarray(a), np.asarray(b)
+            assert av.dtype == bv.dtype and av.shape == bv.shape, path
+            np.testing.assert_array_equal(av, bv, err_msg=path)
+            return
+        assert a == b, path
+
+    _compare(op.plan, back, "plan")
+    # the reloaded plan drives the operator end to end
+    back_dev = load_lane_plan(p)
+    op2 = TileSpMV.from_plan(back_dev)
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    y = np.asarray(spmv_pallas(back_dev, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(
+        y, csr.to_dense().astype(np.float32) @ x, rtol=2e-4, atol=1e-4)
+    assert op2.shape == (csr.m, csr.n)
+
+
+def test_lane_plan_save_load_df64(tmp_path):
+    import jax
+
+    from tilespmv_tpu.core.serialize import (load_lane_plan,
+                                             save_lane_plan)
+    jax.config.update("jax_enable_x64", True)
+    csr = generate.mixed_structure(512, 512, seed=35)
+    op = TileSpMV(csr, compute_dtype=np.float64, backend="pallas")
+    p = str(tmp_path / "plan64.npz")
+    save_lane_plan(p, op.plan)
+    back = load_lane_plan(p)
+    op2 = TileSpMV.from_plan(back, compute_dtype=np.float64)
+    x = np.linspace(-1, 1, csr.n)
+    np.testing.assert_allclose(np.asarray(op2(x)), csr.to_dense() @ x,
+                               rtol=1e-9, atol=1e-9)

@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint the converted TileMatrix")
     p.add_argument("--load-tiles", default=None, metavar="PATH.npz",
                    help="load a converted TileMatrix instead of converting")
+    p.add_argument("--save-plan", default=None, metavar="PATH.npz",
+                   help="checkpoint the compiled LanePlan (plan build is "
+                        "the dominant host cost on large matrices)")
+    p.add_argument("--load-plan", default=None, metavar="PATH.npz",
+                   help="load a LanePlan instead of converting+planning "
+                        "(skips the CPU check; pallas backend only)")
+    p.add_argument("--plan-cache", default=None, metavar="DIR",
+                   help="with --sweep-dir: reuse cached plans from DIR "
+                        "(written on first visit, keyed by file name + "
+                        "dtype)")
     p.add_argument("--x-pattern", default="mod10",
                    choices=["mod10", "ones", "random"],
                    help="mod10 matches the reference driver "
@@ -129,12 +139,28 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
         print(f"sweeping {len(files)} matrices under {args.sweep_dir}")
+        if args.plan_cache:
+            os.makedirs(args.plan_cache, exist_ok=True)
         failures = 0
         for path in files:
             try:
-                csr = _load(path)
-                op = TileSpMV(csr, config=config, compute_dtype=dtype,
-                              backend=args.backend)
+                cpath = None
+                if args.plan_cache:
+                    cpath = os.path.join(
+                        args.plan_cache,
+                        f"{os.path.basename(path)}.{args.dtype}.plan.npz")
+                if cpath and os.path.exists(cpath):
+                    from .core.serialize import load_lane_plan
+                    op = TileSpMV.from_plan(load_lane_plan(cpath),
+                                            compute_dtype=dtype)
+                else:
+                    csr = _load(path)
+                    op = TileSpMV(csr, config=config, compute_dtype=dtype,
+                                  backend=args.backend)
+                    if cpath and op.backend == "pallas" \
+                            and op.plan is not None:
+                        from .core.serialize import save_lane_plan
+                        save_lane_plan(cpath, op.plan)
                 res = benchmark_op(
                     op, name=os.path.basename(path),
                     iters_per_rep=args.iters, timed_reps=args.reps,
@@ -188,6 +214,34 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    if args.load_plan:
+        # plan checkpoint path: no conversion, no CPU check (the plan
+        # carries no TileMatrix); validate on-device vs the reloaded
+        # matrix only when one is given
+        from .core.serialize import load_lane_plan
+        t0 = time.perf_counter()
+        op = TileSpMV.from_plan(load_lane_plan(args.load_plan),
+                                compute_dtype=dtype)
+        print(f"plan loaded in {time.perf_counter() - t0:.3f}s: "
+              f"m={op.plan.m} n={op.plan.n} nnz={op.plan.nnz}")
+        x = ((np.arange(op.plan.n) % 10) / 4.0)
+        if not args.no_check and args.matrix:
+            csr = _load(args.matrix)
+            y_golden = csr.matvec(x)[: op.plan.m]
+            y_dev = np.asarray(op(x.astype(np.float64)), np.float64)
+            bad = np.abs(y_golden - y_dev) > 0.01 * np.abs(y_dev) + 1e-6
+            print(f"Check... {'PASS!' if not bad.any() else 'NO PASS'} "
+                  f"(errors = {int(bad.sum())})")
+            if bad.any():
+                return 1
+        res = benchmark_op(op, x=x, name=args.matrix or args.load_plan,
+                           warmup=args.warmup, timed_reps=args.reps,
+                           iters_per_rep=args.iters)
+        print(f"TileSpMV: {res.ms:.4f} ms, {res.gflops:.2f} GFLOPS")
+        if args.csv and res.reliable:
+            append_results_csv(args.csv, res)
+        return 0
+
     t0 = time.perf_counter()
     csr = _load(args.matrix)
     print(f"input matrix A: ( {csr.m}, {csr.n} ) nnz = {csr.nnz} "
@@ -227,6 +281,14 @@ def main(argv=None) -> int:
     dev_input = csr if csr.n > TileSpMV.MAX_COLS_PER_PLAN else tm
     op = TileSpMV(dev_input, config=config, compute_dtype=dtype,
                   backend=args.backend)
+    if args.save_plan:
+        if op.backend != "pallas" or op.plan is None:
+            print("--save-plan requires the (non-partitioned) pallas "
+                  "backend", file=sys.stderr)
+            return 2
+        from .core.serialize import save_lane_plan
+        save_lane_plan(args.save_plan, op.plan)
+        print(f"plan saved to {args.save_plan}")
     t0 = time.perf_counter()
     y_dev = np.asarray(op(x.astype(np.float64)), dtype=np.float64)
     print(f"device path compiled+ran in {time.perf_counter() - t0:.2f}s "

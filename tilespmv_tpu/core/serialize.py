@@ -1,9 +1,17 @@
-"""TileMatrix serialization (checkpoint/resume for converted matrices).
+"""TileMatrix + LanePlan serialization (checkpoint/resume).
 
 The reference re-converts every matrix on every run (SURVEY.md §5:
 no checkpointing exists). Corpus sweeps re-pay conversion constantly, so
 converted TileMatrix containers can be saved to a single .npz and reloaded
 without touching the converter.
+
+Round-5 addition: compiled LanePlans are serializable too. Plan build is
+the dominant host cost now (powerlaw_large ~6 s f32 / ~48 s df64 — the
+stream builder's occupied-cells sort + class export), so sweeps and
+repeated sessions reload plans instead of re-planning. A LanePlan is a
+pytree of arrays + static geometry fields; the writer walks the
+registered dataclasses generically, so new array/static fields
+round-trip without touching this module.
 """
 from __future__ import annotations
 
@@ -63,3 +71,101 @@ def load_tile_matrix(path: str) -> TileMatrix:
         tile_ptr=z["tile_ptr"], tile_rowidx=z["tile_rowidx"],
         tile_columnidx=z["tile_columnidx"], tile_nnz=z["tile_nnz"],
         fmt=z["fmt"], **buckets)
+
+
+# ---------------------------------------------------------------------------
+# LanePlan serialization (round-4 verdict #4): plans are pytrees of
+# jnp arrays + static fields on @jax.tree_util.register_dataclass
+# dataclasses. Walk them generically: array fields -> npz entries under
+# hierarchical keys, static fields + structure -> a JSON meta tree.
+
+_PLAN_VERSION = 1
+
+
+def _plan_classes():
+    from ..ops.pallas.lane_plan import (BandChunks, DenseChunks, LanePlan,
+                                        SparseChunks)
+    from ..ops.pallas.stream_plan import StreamChunks
+    from ..ops.plan import ResidualEngine
+    return {c.__name__: c for c in (LanePlan, DenseChunks, BandChunks,
+                                    SparseChunks, StreamChunks,
+                                    ResidualEngine)}
+
+
+def _flatten_node(node, key: str, arrays: dict, classes: dict):
+    if node is None:
+        return None
+    if isinstance(node, tuple):
+        return [_flatten_node(c, f"{key}.{i}", arrays, classes)
+                for i, c in enumerate(node)]
+    name = type(node).__name__
+    if name not in classes:
+        raise TypeError(f"cannot serialize plan node {name}")
+    meta = {"__class__": name, "static": {}, "arrays": []}
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if f.metadata.get("static"):
+            meta["static"][f.name] = v
+        elif v is None:
+            continue  # absent optional array/child
+        elif isinstance(v, (tuple,)) or type(v).__name__ in classes:
+            meta[f.name] = _flatten_node(v, f"{key}.{f.name}", arrays,
+                                         classes)
+        else:
+            arrays[f"{key}.{f.name}"] = np.asarray(v)
+            meta["arrays"].append(f.name)
+    return meta
+
+
+def _unflatten_node(meta, key: str, z, classes: dict, asarray):
+    if meta is None:
+        return None
+    if isinstance(meta, list):
+        return tuple(_unflatten_node(c, f"{key}.{i}", z, classes, asarray)
+                     for i, c in enumerate(meta))
+    cls = classes[meta["__class__"]]
+    kwargs = dict(meta["static"])
+    for f in dataclasses.fields(cls):
+        if f.name in kwargs:
+            continue
+        if f.name in meta["arrays"]:
+            kwargs[f.name] = asarray(z[f"{key}.{f.name}"])
+        elif f.name in meta:
+            kwargs[f.name] = _unflatten_node(meta[f.name],
+                                             f"{key}.{f.name}", z,
+                                             classes, asarray)
+        elif f.default is not dataclasses.MISSING:
+            kwargs[f.name] = f.default
+        else:
+            kwargs[f.name] = None
+    return cls(**kwargs)
+
+
+def save_lane_plan(path: str, plan) -> None:
+    """Serialize a LanePlan (any dtype/geometry) to one .npz."""
+    classes = _plan_classes()
+    arrays: dict = {}
+    tree = _flatten_node(plan, "plan", arrays, classes)
+    meta = dict(version=_PLAN_VERSION, tree=tree)
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_lane_plan(path: str, device: bool = True):
+    """Load a LanePlan saved by save_lane_plan. `device=True` puts the
+    arrays on the default JAX device (jnp.asarray); False keeps NumPy
+    views (e.g. for byte-identity tests without a transfer)."""
+    z = np.load(path)
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    if meta.get("version") != _PLAN_VERSION:
+        raise ValueError(
+            f"unknown LanePlan file version {meta.get('version')}")
+    if device:
+        import jax.numpy as jnp
+        asarray = jnp.asarray
+    else:
+        def asarray(a):
+            return a
+    return _unflatten_node(meta["tree"], "plan", z, _plan_classes(),
+                           asarray)

@@ -141,6 +141,26 @@ class TileSpMV:
             self.plan = build_plan(a, compute_dtype=compute_dtype)
         self.compute_dtype = jnp.dtype(compute_dtype)
 
+    @classmethod
+    def from_plan(cls, plan, compute_dtype=jnp.float32) -> "TileSpMV":
+        """Construct the operator from an already-built (e.g. deserialized)
+        plan, skipping conversion and planning entirely — plan build is
+        the dominant host cost on large matrices (core/serialize.py's
+        save_lane_plan/load_lane_plan round-trip LanePlans)."""
+        is_f64 = jnp.dtype(compute_dtype) == jnp.dtype("float64")
+        if is_f64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "compute_dtype=float64 requires jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))")
+        self = cls.__new__(cls)
+        self._col_parts = None
+        self.tile_matrix = None
+        self.backend = ("pallas" if type(plan).__name__ == "LanePlan"
+                        else "xla")
+        self.plan = plan
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        return self
+
     def _init_col_partitioned(self, csr: CSRMatrix, config, compute_dtype,
                               backend, limit):
         b = config.tile_size
