@@ -137,3 +137,29 @@ def test_lane_plan_save_load_df64(tmp_path):
     x = np.linspace(-1, 1, csr.n)
     np.testing.assert_allclose(np.asarray(op2(x)), csr.to_dense() @ x,
                                rtol=1e-9, atol=1e-9)
+
+
+def test_sweep_manifest_smoke(tmp_path, capsys):
+    """--sweep-manifest over a fixtures-scale manifest: the whole
+    reference-parity real-corpus path (manifest parse -> UFget layout
+    resolve -> load -> convert -> bench) minus the network fetch
+    (reference bench0.sh:1-14; scripts/fetch_suitesparse.py documents
+    the fetch)."""
+    import shutil
+
+    from tilespmv_tpu import cli
+    root = tmp_path / "corpus"
+    (root / "HB" / "nist").mkdir(parents=True)
+    fix = "tests/fixtures/nist_example.mtx"
+    shutil.copy(fix, root / "HB" / "nist" / "nist.mtx")
+    # fallback layout: <name>.mtx directly under the root
+    shutil.copy(fix, root / "flat.mtx")
+    man = tmp_path / "man.csv"
+    man.write_text("1,HB,nist,5,5,8\n2,HB,flat,5,5,8\n3,HB,absent,5,5,8\n")
+    rc = cli.main(["--sweep-manifest", str(man), "--matrix-dir",
+                   str(root), "--iters", "2", "--reps", "1",
+                   "--warmup", "1", "--csv", ""])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "sweeping 2 manifest matrices (1 not fetched)" in out
+    assert "2/2 ok" in out

@@ -32,6 +32,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(recursive) into the results CSV — the "
                         "drop-in real-corpus mode (reference "
                         "bench0.sh over the SuiteSparse list)")
+    p.add_argument("--sweep-manifest", default=None, metavar="CSV",
+                   help="benchmark the matrices of an id,group,name,"
+                        "rows,cols,nnz manifest (the reference's "
+                        "2757-matrix.csv schema; ships as "
+                        "tilespmv_tpu/bench/suitesparse_2757.csv — "
+                        "fetch the corpus with "
+                        "scripts/fetch_suitesparse.py)")
+    p.add_argument("--matrix-dir", default=".", metavar="DIR",
+                   help="with --sweep-manifest: corpus root holding "
+                        "<group>/<name>/<name>.mtx (bench0.sh layout; "
+                        "falls back to <name>.mtx directly under DIR)")
     p.add_argument("--sweep", action="store_true",
                    help="benchmark the whole synthetic corpus")
     p.add_argument("--scaling", action="store_true",
@@ -126,19 +137,50 @@ def main(argv=None) -> int:
               csv_path=args.csv or None)
         return 0
 
-    if args.sweep_dir:
+    if args.sweep_dir or args.sweep_manifest:
         import glob
         import traceback
-        files = sorted(
-            glob.glob(os.path.join(args.sweep_dir, "**", "*.mtx"),
-                      recursive=True)
-            + glob.glob(os.path.join(args.sweep_dir, "**", "*.mtx.gz"),
-                        recursive=True))
-        if not files:
-            print(f"error: no .mtx files under {args.sweep_dir}",
-                  file=sys.stderr)
-            return 2
-        print(f"sweeping {len(files)} matrices under {args.sweep_dir}")
+        if args.sweep_manifest:
+            # reference bench0.sh: iterate the manifest rows over a
+            # local UFget-layout mirror; rows whose file is absent are
+            # counted and skipped (a partial fetch still sweeps)
+            import csv as _csv
+            files, missing = [], 0
+            with open(args.sweep_manifest, newline="") as f:
+                for row in _csv.reader(f):
+                    if len(row) < 3 or not row[0].strip().isdigit():
+                        continue
+                    group, name = row[1].strip(), row[2].strip()
+                    cands = [os.path.join(args.matrix_dir, group, name,
+                                          f"{name}.mtx"),
+                             os.path.join(args.matrix_dir,
+                                          f"{name}.mtx")]
+                    hit = next((c for c in cands if os.path.exists(c)),
+                               None)
+                    if hit is None:
+                        missing += 1
+                    else:
+                        files.append(hit)
+            if not files:
+                print(f"error: no manifest matrices found under "
+                      f"{args.matrix_dir} (fetch them with "
+                      f"scripts/fetch_suitesparse.py)", file=sys.stderr)
+                return 2
+            print(f"sweeping {len(files)} manifest matrices "
+                  f"({missing} not fetched)")
+        else:
+            files = sorted(
+                glob.glob(os.path.join(args.sweep_dir, "**", "*.mtx"),
+                          recursive=True)
+                + glob.glob(os.path.join(args.sweep_dir, "**",
+                                         "*.mtx.gz"),
+                            recursive=True))
+            if not files:
+                print(f"error: no .mtx files under {args.sweep_dir}",
+                      file=sys.stderr)
+                return 2
+            print(f"sweeping {len(files)} matrices under "
+                  f"{args.sweep_dir}")
         if args.plan_cache:
             os.makedirs(args.plan_cache, exist_ok=True)
         failures = 0
