@@ -50,8 +50,8 @@ def _x32_trace():
 from .lane_plan import (DENSE_MROWS, META_LROW, META_XLOC, PANEL_TC,
                         ROW_WINDOW, BandChunks, DenseChunks, LanePlan,
                         SparseChunks, sparse_meta_rows)
-from .stream_plan import (LANES, SPAN_ROWS, SUBS, XBLOCK_ROWS,
-                          StreamChunks)
+from .stream_plan import (LANES, OFFS_SLAB_ROWS, SPAN_ROWS, SUBS,
+                          XBLOCK_ROWS, StreamChunks)
 
 _B = 16  # tile edge; kernels are specialized to 16
 
@@ -1101,7 +1101,7 @@ def _stream_kernel(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
                    s_batch: int, rounds: int, acc_dtype,
                    df64: bool = False, has_prev: bool = False,
                    interpret: bool = False, span_rows: int = SPAN_ROWS,
-                   dual: bool = False):
+                   dual: bool = False, scatter: str = "rounds"):
     """One step = `s_batch` (8,128) entry slabs: hardware-gather x per
     slab superspan, prefix-sum by one batched matmul, then 3-gather
     boundary-difference scatter rounds (see stream_plan.py module doc).
@@ -1130,13 +1130,14 @@ def _stream_kernel(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
             _stream_step_df64(sbase, sbase2, cfirst, *refs, i=i,
                               s_batch=s_batch,
                               rounds=rounds, interpret=interpret,
-                              span_rows=span_rows, dual=dual)
+                              span_rows=span_rows, dual=dual,
+                              scatter=scatter)
         else:
             _stream_step(sbase, sbase2, cfirst, *refs, i=i,
                          s_batch=s_batch,
                          rounds=rounds, acc_dtype=acc_dtype,
                          interpret=interpret, span_rows=span_rows,
-                         dual=dual)
+                         dual=dual, scatter=scatter)
 
 
 # In-situ ablation switches (scripts/ablate_stream.py flips these before
@@ -1164,10 +1165,17 @@ STREAM_VARIANT = {"xg": "chunk", "wide_scatter": False}
 STREAM_SPMM_FUSED = True
 
 
+def _roll_subs(a, d: int):
+    """Static sublane rotate: out[t] = a[(t - d) % 8]."""
+    if d == 0:
+        return a
+    return jnp.concatenate([a[SUBS - d:], a[:SUBS - d]], axis=0)
+
+
 def _stream_step(sbase, sbase2, cfirst, x2d_ref, ltri_ref, val_ref,
                  vidx_ref, planes_ref, out_ref, *, i, s_batch, rounds,
                  acc_dtype, interpret, span_rows=SPAN_ROWS,
-                 dual=False):
+                 dual=False, scatter="rounds"):
     xg = STREAM_VARIANT["xg"]
     if (span_rows != SPAN_ROWS or dual) and xg in ("narrow", "wide"):
         xg = "chunk"   # the legacy arms hard-code mono 64-row spans
@@ -1281,7 +1289,30 @@ def _stream_step(sbase, sbase2, cfirst, x2d_ref, ltri_ref, val_ref,
     sb8 = s_batch * SUBS
 
     ys = []
-    if wide_scatter:
+    if scatter == "offs":
+        # run-ordered boundary extraction (ONE gather pair per slab for
+        # ALL runs) + static sublane-offset scatter: per offset d, one
+        # lane gather places the runs with tgt-src == d at their target
+        # lanes; the static rotate that crosses sublanes COMMUTES with
+        # addition, so picks are summed across the step's slabs first
+        # and only 7 rotates run per STEP — no dynamic sublane gathers,
+        # no per-round boundary re-gathers
+        # (stream_plan._runs_planes_offs).
+        picks = [[] for _ in range(SUBS)]
+        for s in range(s_batch):
+            cs = csum[s * SUBS:(s + 1) * SUBS]
+            base = s * OFFS_SLAB_ROWS
+            ue = jnp.take_along_axis(cs, pe[base: base + SUBS], axis=1)
+            us = jnp.take_along_axis(cs, pe[base + SUBS: base + 2 * SUBS],
+                                     axis=1)
+            diff = ue - us
+            for d in range(SUBS):
+                o = base + (2 + d) * SUBS
+                picks[d].append(jnp.take_along_axis(diff, pe[o: o + SUBS],
+                                                    axis=1))
+        ys = [_roll_subs(_tree_sum(pk), d)
+              for d, pk in enumerate(picks)]
+    elif wide_scatter:
         def wide_gather(idx):
             if sb8 <= 64:
                 return jnp.take_along_axis(csum, idx, axis=1)
@@ -1325,7 +1356,8 @@ def _stream_step(sbase, sbase2, cfirst, x2d_ref, ltri_ref, val_ref,
 def _stream_kernel2(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
                     *refs, s_batch: int, rounds: int, acc_dtype,
                     has_prev: bool = False, interpret: bool = False,
-                    span_rows: int = SPAN_ROWS, dual: bool = False):
+                    span_rows: int = SPAN_ROWS, dual: bool = False,
+                    scatter: str = "rounds"):
     """Fused 2-RHS stream step (f32): the slab decode, x staging loops'
     index planes, val loads, round-plane reads, and the step machinery
     are shared across both right-hand sides; the two contribution
@@ -1392,19 +1424,39 @@ def _stream_kernel2(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
         sb8 = s_batch * SUBS
         csa, csb = csum[:sb8], csum[sb8:]
         ys_a, ys_b = [], []
-        for t in range(rounds):
-            base = t * 3 * sb8
+        if scatter == "offs":
+            picks_a = [[] for _ in range(SUBS)]
+            picks_b = [[] for _ in range(SUBS)]
             for s in range(s_batch):
-                o = base + s * SUBS
-                pe_e = pe[o: o + SUBS]
-                pe_s = pe[sb8 + o: sb8 + o + SUBS]
-                rsrc = pe[2 * sb8 + o: 2 * sb8 + o + SUBS]
-                for cs, ys in ((csa, ys_a), (csb, ys_b)):
+                base = s * OFFS_SLAB_ROWS
+                pe_e = pe[base: base + SUBS]
+                pe_s = pe[base + SUBS: base + 2 * SUBS]
+                for cs, picks in ((csa, picks_a), (csb, picks_b)):
                     sl = cs[s * SUBS:(s + 1) * SUBS]
-                    ue = jnp.take_along_axis(sl, pe_e, axis=1)
-                    us = jnp.take_along_axis(sl, pe_s, axis=1)
-                    ys.append(jnp.take_along_axis(ue - us, rsrc,
-                                                  axis=0))
+                    diff = (jnp.take_along_axis(sl, pe_e, axis=1)
+                            - jnp.take_along_axis(sl, pe_s, axis=1))
+                    for d in range(SUBS):
+                        o = base + (2 + d) * SUBS
+                        picks[d].append(jnp.take_along_axis(
+                            diff, pe[o: o + SUBS], axis=1))
+            ys_a = [_roll_subs(_tree_sum(pk), d)
+                    for d, pk in enumerate(picks_a)]
+            ys_b = [_roll_subs(_tree_sum(pk), d)
+                    for d, pk in enumerate(picks_b)]
+        else:
+            for t in range(rounds):
+                base = t * 3 * sb8
+                for s in range(s_batch):
+                    o = base + s * SUBS
+                    pe_e = pe[o: o + SUBS]
+                    pe_s = pe[sb8 + o: sb8 + o + SUBS]
+                    rsrc = pe[2 * sb8 + o: 2 * sb8 + o + SUBS]
+                    for cs, ys in ((csa, ys_a), (csb, ys_b)):
+                        sl = cs[s * SUBS:(s + 1) * SUBS]
+                        ue = jnp.take_along_axis(sl, pe_e, axis=1)
+                        us = jnp.take_along_axis(sl, pe_s, axis=1)
+                        ys.append(jnp.take_along_axis(ue - us, rsrc,
+                                                      axis=0))
         ya = _tree_sum(ys_a)
         yb = _tree_sum(ys_b)
 
@@ -1445,7 +1497,7 @@ def stream_class_call2(sc: StreamChunks, xa2d: jax.Array,
                                rounds=sc.rounds, acc_dtype=jnp.float32,
                                has_prev=prev is not None,
                                interpret=interpret, span_rows=R,
-                               dual=sc.dual)
+                               dual=sc.dual, scatter=sc.scatter)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),
@@ -1499,7 +1551,8 @@ def _shift_lanes(a, k):
 def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
                       vlo_ref, vidx_ref, planes_ref, out_ref, out_lo_ref,
                       *, i, s_batch, rounds, interpret,
-                      span_rows=SPAN_ROWS, dual=False):
+                      span_rows=SPAN_ROWS, dual=False,
+                      scatter="rounds"):
     """Double-f32 stream step: the PLAN (slabs, round planes) is
     identical to f32; only the arithmetic changes —
 
@@ -1559,6 +1612,19 @@ def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
                      + vlo_ref[s].astype(jnp.float64))
                     * (xh.astype(jnp.float64) + xl.astype(jnp.float64)))
             csum = jnp.cumsum(prod, axis=1)
+            if scatter == "offs":
+                base = s * OFFS_SLAB_ROWS
+                ue = jnp.take_along_axis(csum, pe[base: base + SUBS],
+                                         axis=1)
+                us = jnp.take_along_axis(
+                    csum, pe[base + SUBS: base + 2 * SUBS], axis=1)
+                diff = ue - us
+                for d in range(SUBS):
+                    o = base + (2 + d) * SUBS
+                    ys64 = ys64 + _roll_subs(
+                        jnp.take_along_axis(diff, pe[o: o + SUBS],
+                                            axis=1), d)
+                continue
             for t in range(rounds):
                 o = t * 3 * sb8 + s * SUBS
                 ue = jnp.take_along_axis(csum, pe[o: o + SUBS], axis=1)
@@ -1604,23 +1670,46 @@ def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
     pe = planes_ref[0]
     sb8 = s_batch * SUBS
     ys = []
-    for t in range(rounds):
-        base = t * 3 * sb8
+    if scatter == "offs":
+        picks = [[] for _ in range(SUBS)]
         for s in range(s_batch):
             hsl = csh[s * SUBS:(s + 1) * SUBS]
             lsl = csl[s * SUBS:(s + 1) * SUBS]
-            o = base + s * SUBS
-            pe_e = pe[o: o + SUBS]
-            pe_s = pe[sb8 + o: sb8 + o + SUBS]
-            rsrc = pe[2 * sb8 + o: 2 * sb8 + o + SUBS]
+            base = s * OFFS_SLAB_ROWS
+            pe_e = pe[base: base + SUBS]
+            pe_s = pe[base + SUBS: base + 2 * SUBS]
             ue_h = jnp.take_along_axis(hsl, pe_e, axis=1)
             us_h = jnp.take_along_axis(hsl, pe_s, axis=1)
             ue_l = jnp.take_along_axis(lsl, pe_e, axis=1)
             us_l = jnp.take_along_axis(lsl, pe_s, axis=1)
             dh, e = _two_sum(ue_h, -us_h)
             dl = (ue_l - us_l) + e
-            ys.append((jnp.take_along_axis(dh, rsrc, axis=0),
-                       jnp.take_along_axis(dl, rsrc, axis=0)))
+            for d in range(SUBS):
+                o = base + (2 + d) * SUBS
+                g = pe[o: o + SUBS]
+                picks[d].append((jnp.take_along_axis(dh, g, axis=1),
+                                 jnp.take_along_axis(dl, g, axis=1)))
+        for d, pk in enumerate(picks):
+            h, l = _pair_tree_sum(pk)
+            ys.append((_roll_subs(h, d), _roll_subs(l, d)))
+    else:
+        for t in range(rounds):
+            base = t * 3 * sb8
+            for s in range(s_batch):
+                hsl = csh[s * SUBS:(s + 1) * SUBS]
+                lsl = csl[s * SUBS:(s + 1) * SUBS]
+                o = base + s * SUBS
+                pe_e = pe[o: o + SUBS]
+                pe_s = pe[sb8 + o: sb8 + o + SUBS]
+                rsrc = pe[2 * sb8 + o: 2 * sb8 + o + SUBS]
+                ue_h = jnp.take_along_axis(hsl, pe_e, axis=1)
+                us_h = jnp.take_along_axis(hsl, pe_s, axis=1)
+                ue_l = jnp.take_along_axis(lsl, pe_e, axis=1)
+                us_l = jnp.take_along_axis(lsl, pe_s, axis=1)
+                dh, e = _two_sum(ue_h, -us_h)
+                dl = (ue_l - us_l) + e
+                ys.append((jnp.take_along_axis(dh, rsrc, axis=0),
+                           jnp.take_along_axis(dl, rsrc, axis=0)))
     yh, yl = _pair_tree_sum(ys)
     _write_out_df64(i, cfirst, yh, yl, out_ref, out_lo_ref)
 
@@ -1661,7 +1750,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                                    acc_dtype=jnp.float32, df64=True,
                                    has_prev=prev is not None,
                                    interpret=interpret, span_rows=R,
-                                   dual=sc.dual)
+                                   dual=sc.dual, scatter=sc.scatter)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(nsteps,),
@@ -1700,7 +1789,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                                rounds=sc.rounds, acc_dtype=acc_dtype,
                                has_prev=prev is not None,
                                interpret=interpret, span_rows=R,
-                               dual=sc.dual)
+                               dual=sc.dual, scatter=sc.scatter)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nsteps,),

@@ -66,6 +66,12 @@ SPAN_ROWS = 64     # default x2d128 rows per slab superspan (8 windows)
 SPAN_CHOICES = (64, 128, 256)
 MAX_SPAN_ROWS = SPAN_CHOICES[-1]  # x padding slack past the end
 
+# y-scatter encoding the builders emit: "rounds" (rounds design) or
+# "offs" (run-ordered boundary planes + static-offset scatter — see
+# OFFS_SLAB_ROWS below). Arbitrated e2e under the interleaved harness
+# (scripts/ab_stream_scatter.py); default = measured winner.
+STREAM_SCATTER = "rounds"
+
 # int8 plane rows per slab in the RAW (builder) layout: R rounds x
 # [rend | rstart | rsrc] x 8 sublanes (rows t*24 + {0,8,16} + s); R is a
 # multiple of 4 so the row count stays a multiple of the 32-row int8 tile
@@ -93,6 +99,71 @@ def stack_step_planes(planes: np.ndarray, s_batch: int,
     p = planes.reshape(nsteps, s_batch, rounds, 3, SUBS, LANES)
     return np.ascontiguousarray(p.transpose(0, 2, 3, 1, 4, 5)).reshape(
         nsteps, step_plane_rows(rounds, s_batch), LANES)
+
+
+# --- "offs" scatter encoding (round-4 verdict #1: the different
+# per-entry encoding). Same entry placement as the rounds design; the
+# post-prefix machinery changes:
+#   * boundary planes are RUN-ORDERED, not round-split: run j of
+#     (slab, sublane s) stores its end lane at ue[s, j] and its start-1
+#     lane at us[s, j] — ONE pair of lane gathers extracts ALL run sums
+#     per slab (the rounds design pays 2 gathers PER ROUND);
+#   * runs are then scattered by their STATIC sublane offset
+#     d = (tgt - src) % 8: g_d[s, l'] = run index j of the sublane-s run
+#     targeting cell ((s + d) % 8, l'). Per offset: one lane gather +
+#     one static sublane rotate + one add. Collision-free by
+#     construction: two runs of one sublane with equal offset and equal
+#     target lane would share a target row — impossible, runs within a
+#     sublane have distinct rows. The dynamic rsrc sublane gathers (and
+#     the per-round boundary gathers) disappear entirely.
+# Plane layout per slab: [ue(8) | us(8) | g_0..g_7 (64)] = 80 rows,
+# padded to 96 (int8 operands want row counts in 32-row tiles).
+OFFS_SLAB_ROWS = 96
+
+
+def offs_step_rows(s_batch: int) -> int:
+    return OFFS_SLAB_ROWS * s_batch
+
+
+def stack_offs_planes(planes: np.ndarray, s_batch: int) -> np.ndarray:
+    """Per-slab offs planes -> per-step stack (plain reshape: the offs
+    kernel reads each slab's planes as contiguous static slices)."""
+    nsteps = planes.shape[0] // s_batch
+    return planes.reshape(nsteps, offs_step_rows(s_batch), LANES)
+
+
+def _runs_planes_offs(slab_of: np.ndarray, sub_of: np.ndarray,
+                      lane_of: np.ndarray, r: np.ndarray, nslabs: int):
+    """Offs-scatter planes from entry placements (same input contract
+    as _runs_planes). Returns (planes (nslabs, OFFS_SLAB_ROWS, 128)
+    int8, n_offsets=8)."""
+    nz = r.shape[0]
+    skey = slab_of * SUBS + sub_of
+    newrun = np.ones(nz, bool)
+    newrun[1:] = (skey[1:] != skey[:-1]) | (r[1:] != r[:-1])
+    runs = np.nonzero(newrun)[0]
+    run_end_e = np.append(runs[1:], nz) - 1
+
+    c_slab = slab_of[runs]
+    c_src = sub_of[runs]
+    c_row = r[runs]
+    c_start = lane_of[runs] - 1          # exclusive (>= 0: lane 0 pad)
+    c_end = lane_of[run_end_e]           # inclusive
+    rloc = c_row - (c_row >> 10 << 10)
+    c_tgt = (rloc >> 7).astype(np.int64)
+    c_j = rloc & (LANES - 1)
+    # run index within (slab, sublane); slot 0 reserved as the zero run
+    # (ue = us = 0 -> diff 0), so empty g_d cells point at j = 0
+    j = _rank_within(c_slab * SUBS + c_src) + 1
+    if j.size and int(j.max()) > LANES - 1:
+        raise AssertionError("offs planes overflowed run slots")
+    d = ((c_tgt - c_src) % SUBS).astype(np.int64)
+
+    planes = np.zeros((nslabs, OFFS_SLAB_ROWS, LANES), np.int8)
+    planes[c_slab, c_src, j] = c_end.astype(np.int8)
+    planes[c_slab, SUBS + c_src, j] = c_start.astype(np.int8)
+    planes[c_slab, 2 * SUBS + d * SUBS + c_src, c_j] = j.astype(np.int8)
+    return planes, SUBS
 
 
 @jax.tree_util.register_dataclass
@@ -141,6 +212,13 @@ class StreamChunks:
     # (pick_geometry).
     dual: bool = dataclasses.field(default=False,
                                    metadata=dict(static=True))
+    # y-scatter encoding: "rounds" = per-round boundary gathers + rsrc
+    # sublane gathers (the round-1..4 design); "offs" = run-ordered
+    # boundary planes + static sublane-offset scatter (round 5 — see
+    # the _runs_planes_offs comment). Plan layout differs only in
+    # `planes`.
+    scatter: str = dataclasses.field(default="rounds",
+                                     metadata=dict(static=True))
 
     @property
     def nslabs(self) -> int:
@@ -495,11 +573,16 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
     re-padded at each class's rate. `raw_planes`: st.planes is still in
     the RAW per-slab layout (build_stream_chunks with stack=False) — a
     host-only fast path skipping one stack+unstack round trip."""
+    offs = st.scatter == "offs"
+
+    def _stack(pr, s):
+        return (stack_offs_planes(pr, s) if offs
+                else stack_step_planes(pr, s, st.rounds_))
+
     def _as_built(sc):
         if raw_planes:
             sc = dataclasses.replace(
-                sc, planes=stack_step_planes(np.asarray(sc.planes),
-                                             sc.s_batch, sc.rounds_))
+                sc, planes=_stack(np.asarray(sc.planes), sc.s_batch))
         return to_device(sc)
 
     S0, R = st.s_batch, st.rounds_
@@ -530,8 +613,13 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
     vidx = np.asarray(st.vidx)
     sbase = np.asarray(st.sbase)
     sbase2 = np.asarray(st.sbase2) if st.sbase2 is not None else None
-    planes_raw = (np.asarray(st.planes) if raw_planes
-                  else unstack_step_planes(np.asarray(st.planes), S0, R))
+    if raw_planes:
+        planes_raw = np.asarray(st.planes)
+    elif offs:
+        planes_raw = np.asarray(st.planes).reshape(-1, OFFS_SLAB_ROWS,
+                                                   LANES)
+    else:
+        planes_raw = unstack_step_planes(np.asarray(st.planes), S0, R)
     val_lo = np.asarray(st.val_lo) if st.df64 else None
 
     def build(wmask, s):
@@ -542,7 +630,8 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
         tot = int(padded.sum())
         v = np.zeros((tot, SUBS, LANES), val.dtype)
         vi = np.zeros((tot, SUBS, LANES), np.int16)
-        pr = np.zeros((tot, plane_rows(R), LANES), np.int8)
+        pr = np.zeros((tot, OFFS_SLAB_ROWS if offs else plane_rows(R),
+                       LANES), np.int8)
         sb = np.zeros(tot, np.int32)
         sb2 = np.zeros(tot, np.int32) if sbase2 is not None else None
         ld = np.zeros(tot, np.int64)
@@ -569,13 +658,13 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
         sact = (ld.reshape(-1, s).sum(axis=1) > 0).astype(np.int32)
         return StreamChunks(
             val=jnp.asarray(v), vidx=jnp.asarray(vi),
-            planes=jnp.asarray(stack_step_planes(pr, s, R)),
+            planes=jnp.asarray(_stack(pr, s)),
             sbase=jnp.asarray(sb), cw=jnp.asarray(cwc),
             cfirst=jnp.asarray(cf), sactive=jnp.asarray(sact),
             val_lo=jnp.asarray(vl) if vl is not None else None,
             sbase2=jnp.asarray(sb2) if sb2 is not None else None,
             s_batch=s, rounds_=R, df64=st.df64,
-            span_rows=st.span_rows, dual=st.dual)
+            span_rows=st.span_rows, dual=st.dual, scatter=st.scatter)
 
     return build(~heavy, s1), (build(heavy, s2) if s2 is not None
                                else None)
@@ -625,6 +714,10 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     elif span_rows is None:
         span_rows = pick_span_rows(g_row, g_col, m)
     dual = bool(dual)
+    if STREAM_SCATTER == "offs":
+        # the native builder emits rounds planes; offs planes come from
+        # the NumPy reference builder (native export once the default)
+        use_native = False
     sh = 7 + int(span_rows).bit_length() - 1     # log2(span_rows * 128)
     vmask = 16 * span_rows - 1                   # sub-window col mask
 
@@ -702,12 +795,18 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     val_arr[slab_of, sub_of, lane_of] = v
     vidx_arr[slab_of, sub_of, lane_of] = (c & vmask).astype(np.int16)
 
-    planes, rounds = _runs_planes(slab_of, sub_of, lane_of, r, nslabs)
+    if STREAM_SCATTER == "offs":
+        planes, rounds = _runs_planes_offs(slab_of, sub_of, lane_of, r,
+                                           nslabs)
+    else:
+        planes, rounds = _runs_planes(slab_of, sub_of, lane_of, r,
+                                      nslabs)
 
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
                           s_batch, rounds, span_rows=span_rows,
-                          device=device, stack=stack), empty_spill
+                          device=device, stack=stack,
+                          scatter=STREAM_SCATTER), empty_spill
 
 
 def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
@@ -721,6 +820,8 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
     are merged row-sorted per (slab, sublane), so runs, the coloring,
     and every downstream stage are the mono machinery unchanged."""
     n_windows = max(1, -(-m // RW_ROWS))
+    if STREAM_SCATTER == "offs":
+        use_native = False
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
         raw = native.stream_plan(g_row, g_col, val, m, s_batch,
@@ -845,12 +946,18 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
     vidx_arr[slab_of, sub_o2, lane_of] = (
         (c2 & vmask) | (isB2.astype(np.int64) << 13)).astype(np.int16)
 
-    planes, rounds = _runs_planes(slab_of, sub_o2, lane_of, r2, nslabs)
+    if STREAM_SCATTER == "offs":
+        planes, rounds = _runs_planes_offs(slab_of, sub_o2, lane_of, r2,
+                                           nslabs)
+    else:
+        planes, rounds = _runs_planes(slab_of, sub_o2, lane_of, r2,
+                                      nslabs)
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
                           s_batch, rounds, span_rows=span_rows,
                           device=device, stack=stack,
-                          sbase2_arr=sbase2, dual=True)
+                          sbase2_arr=sbase2, dual=True,
+                          scatter=STREAM_SCATTER)
 
 
 def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
@@ -879,6 +986,8 @@ def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
     elif span_rows is None:
         span_rows = pick_span_rows(g_row, g_col, m)
     dual = bool(dual)
+    if STREAM_SCATTER == "offs":
+        use_native = False   # native class export emits rounds planes
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
         out = native.stream_plan_classes(
@@ -933,7 +1042,8 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
                    device: bool = True,
                    stack: bool = True,
                    sbase2_arr=None,
-                   dual: bool = False) -> StreamChunks:
+                   dual: bool = False,
+                   scatter: str = "rounds") -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
     cluster into trailing steps the kernel can skip), stack the round
     planes per step, and build the per-step control scalars. f64 values
@@ -949,7 +1059,9 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
     vidx_arr = vidx_arr[order]
     planes = planes[order]
     if stack:
-        planes = stack_step_planes(planes, s_batch, rounds)
+        planes = (stack_offs_planes(planes, s_batch)
+                  if scatter == "offs"
+                  else stack_step_planes(planes, s_batch, rounds))
     sbase = sbase[order]
     if sbase2_arr is not None:
         sbase2_arr = sbase2_arr[order]
@@ -985,4 +1097,4 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
         sbase2=(put(sbase2_arr.astype(np.int32))
                 if sbase2_arr is not None else None),
         s_batch=s_batch, rounds_=rounds, df64=df64,
-        span_rows=span_rows, dual=dual)
+        span_rows=span_rows, dual=dual, scatter=scatter)
