@@ -26,7 +26,7 @@ from tilespmv_tpu.ops.spmv import spmv  # noqa: E402
 from tilespmv_tpu.utils import abtest  # noqa: E402
 
 name = sys.argv[1] if len(sys.argv) > 1 else "powerlaw_large"
-rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+rounds = next((int(a) for a in sys.argv[2:] if a.isdigit()), 4)
 dtype = np.float64 if "--f64" in sys.argv else np.float32
 if dtype == np.float64:
     import jax
@@ -41,8 +41,10 @@ nrm = np.max(np.abs(ref))
 import jax.numpy as jnp  # noqa: E402
 
 xj = jnp.asarray(x, dtype=dtype)
+arm_names = [a for a in sys.argv[2:]
+             if a in ("rounds", "offs", "roll")] or ["rounds", "roll"]
 arms = {}
-for scat in ("rounds", "offs"):
+for scat in arm_names:
     old = sp.STREAM_SCATTER
     try:
         sp.STREAM_SCATTER = scat

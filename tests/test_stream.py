@@ -366,3 +366,82 @@ def test_pick_geometry_defaults():
     col = rng.integers(0, n, 120_000).astype(np.int64)
     span, dual = pick_geometry(row, col, m)
     assert span == 64 and dual is False
+
+
+def test_free_placement_stream_class():
+    """Forced free-placement geometry (StreamChunks.xmap): each sublane
+    slot maps to an arbitrary 1024-value x block via a plan-time gather
+    map; the kernel runs the plain mono span-64 path over the x copy.
+    Built for block-clustered hypersparse populations; the cost gate
+    (pick_geometry_fp) correctly REJECTS uniform hypersparse (cells too
+    small) — that rejection is asserted too."""
+    import jax.numpy as jnp
+
+    from tilespmv_tpu.ops.pallas import stream_plan as sp
+    from tilespmv_tpu.ops.pallas.kernels import stream_class_call
+    rng = np.random.default_rng(11)
+    # sublane-collision population: ~100-entry (window, block) cells
+    # whose blocks are all congruent mod 8, so EVERY aligned geometry
+    # (any span, mono or dual) lands them in one sublane per group
+    # while free placement spreads them 8 per slab
+    m = n = 65536
+    ncells = 384
+    cw = rng.integers(0, m // 1024, ncells)
+    cb = rng.integers(0, n // 8192, ncells) * 8
+    rows = np.repeat(cw, 100) * 1024 + rng.integers(0, 1024, 100 * ncells)
+    cols = np.repeat(cb, 100) * 1024 + rng.integers(0, 1024, 100 * ncells)
+    vals = rng.standard_normal(100 * ncells)
+    span, dual, fp = sp.pick_geometry_fp(rows, cols, m)
+    assert fp, "clustered population must take free placement"
+    st, _ = sp.build_stream_chunks(rows, cols, vals, m, fp=True)
+    assert st.xmap is not None and st.span_rows == sp.SPAN_ROWS
+    x = np.linspace(-1, 1, n).astype(np.float32)
+    xrows = -(-n // 128) + sp.MAX_SPAN_ROWS
+    xrows = -(-xrows // sp.SPAN_ROWS) * sp.SPAN_ROWS
+    x2d = (jnp.zeros(xrows * 128, jnp.float32).at[:n].set(x)
+           .reshape(-1, 128))
+    nw = m // 1024
+    y = np.asarray(stream_class_call(st, x2d, nw, interpret=True))
+    ref = np.zeros(nw * 1024)
+    np.add.at(ref, rows, vals * x[cols])
+    yflat = np.asarray(y).reshape(8, nw, 128).transpose(1, 0, 2)
+    # output layout: window w's row (q*128 + j) at [q, w*128 + j]
+    yflat = yflat.reshape(nw * 1024)
+    err = np.max(np.abs(yflat - ref)) / np.max(np.abs(ref))
+    assert err < 1e-4, err
+    # uniform hypersparse must REJECT fp (cells avg ~10 entries)
+    ur = rng.integers(0, m, 40000)
+    uc_ = rng.integers(0, n, 40000)
+    _, _, fp_u = sp.pick_geometry_fp(ur, uc_, m)
+    assert not fp_u
+
+
+def test_scatter_encodings_match_rounds():
+    """offs and roll scatter encodings (round-5 candidates; rounds
+    stays the measured default) produce identical results."""
+    import jax.numpy as jnp
+
+    from tilespmv_tpu import tile_create
+    from tilespmv_tpu.ops.pallas import stream_plan as sp
+    from tilespmv_tpu.ops.pallas.kernels import spmv_pallas
+    from tilespmv_tpu.ops.pallas.lane_plan import build_lane_plan
+    csr = generate.power_law(2048, 2048, 10, seed=6)
+    tm = tile_create(csr)
+    x = np.linspace(-1, 1, csr.n).astype(np.float32)
+    ys = {}
+    old = sp.STREAM_SCATTER
+    try:
+        for scat in ("rounds", "offs", "roll"):
+            sp.STREAM_SCATTER = scat
+            plan = build_lane_plan(tm)
+            assert plan.stream.scatter == scat
+            ys[scat] = np.asarray(spmv_pallas(plan, jnp.asarray(x),
+                                              interpret=True))
+    finally:
+        sp.STREAM_SCATTER = old
+    # the encodings reduce in different orders, so agreement is to f32
+    # rounding, not bitwise
+    np.testing.assert_allclose(ys["rounds"], ys["offs"], rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(ys["rounds"], ys["roll"], rtol=1e-5,
+                               atol=1e-4)

@@ -50,8 +50,8 @@ def _x32_trace():
 from .lane_plan import (DENSE_MROWS, META_LROW, META_XLOC, PANEL_TC,
                         ROW_WINDOW, BandChunks, DenseChunks, LanePlan,
                         SparseChunks, sparse_meta_rows)
-from .stream_plan import (LANES, OFFS_SLAB_ROWS, SPAN_ROWS, SUBS,
-                          XBLOCK_ROWS, StreamChunks)
+from .stream_plan import (LANES, OFFS_SLAB_ROWS, ROLL_SLAB_ROWS,
+                          SPAN_ROWS, SUBS, XBLOCK_ROWS, StreamChunks)
 
 _B = 16  # tile edge; kernels are specialized to 16
 
@@ -1312,6 +1312,21 @@ def _stream_step(sbase, sbase2, cfirst, x2d_ref, ltri_ref, val_ref,
                                                     axis=1))
         ys = [_roll_subs(_tree_sum(pk), d)
               for d, pk in enumerate(picks)]
+    elif scatter == "roll":
+        # the rounds dataflow (independent per-round boundary gather
+        # pairs from csum) with rounds keyed by the STATIC offset
+        # d = tgt - src, so the dynamic rsrc sublane gather becomes one
+        # hoisted rotate per step (stream_plan._runs_planes_roll)
+        for d in range(SUBS):
+            picks = []
+            for s in range(s_batch):
+                cs = csum[s * SUBS:(s + 1) * SUBS]
+                o = s * ROLL_SLAB_ROWS + 2 * SUBS * d
+                ue = jnp.take_along_axis(cs, pe[o: o + SUBS], axis=1)
+                us = jnp.take_along_axis(cs, pe[o + SUBS: o + 2 * SUBS],
+                                         axis=1)
+                picks.append(ue - us)
+            ys.append(_roll_subs(_tree_sum(picks), d))
     elif wide_scatter:
         def wide_gather(idx):
             if sb8 <= 64:
@@ -1443,6 +1458,20 @@ def _stream_kernel2(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
                     for d, pk in enumerate(picks_a)]
             ys_b = [_roll_subs(_tree_sum(pk), d)
                     for d, pk in enumerate(picks_b)]
+        elif scatter == "roll":
+            for d in range(SUBS):
+                pka, pkb = [], []
+                for s in range(s_batch):
+                    o = s * ROLL_SLAB_ROWS + 2 * SUBS * d
+                    pe_e = pe[o: o + SUBS]
+                    pe_s = pe[o + SUBS: o + 2 * SUBS]
+                    for cs, pk in ((csa, pka), (csb, pkb)):
+                        sl = cs[s * SUBS:(s + 1) * SUBS]
+                        pk.append(jnp.take_along_axis(sl, pe_e, axis=1)
+                                  - jnp.take_along_axis(sl, pe_s,
+                                                        axis=1))
+                ys_a.append(_roll_subs(_tree_sum(pka), d))
+                ys_b.append(_roll_subs(_tree_sum(pkb), d))
         else:
             for t in range(rounds):
                 base = t * 3 * sb8
@@ -1481,6 +1510,8 @@ def stream_class_call2(sc: StreamChunks, xa2d: jax.Array,
     nsteps = sc.nsteps
     R = sc.span_rows
     def permute(x2d):
+        if sc.xmap is not None:
+            return jnp.take(x2d, sc.xmap, axis=0)
         if x2d.shape[0] % R:
             x2d = jnp.pad(x2d, [(0, R - x2d.shape[0] % R), (0, 0)])
         return (x2d.reshape(-1, SUBS, R // 8, LANES)
@@ -1625,6 +1656,15 @@ def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
                         jnp.take_along_axis(diff, pe[o: o + SUBS],
                                             axis=1), d)
                 continue
+            if scatter == "roll":
+                for d in range(SUBS):
+                    o = s * ROLL_SLAB_ROWS + 2 * SUBS * d
+                    ue = jnp.take_along_axis(csum, pe[o: o + SUBS],
+                                             axis=1)
+                    us = jnp.take_along_axis(
+                        csum, pe[o + SUBS: o + 2 * SUBS], axis=1)
+                    ys64 = ys64 + _roll_subs(ue - us, d)
+                continue
             for t in range(rounds):
                 o = t * 3 * sb8 + s * SUBS
                 ue = jnp.take_along_axis(csum, pe[o: o + SUBS], axis=1)
@@ -1692,6 +1732,23 @@ def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
         for d, pk in enumerate(picks):
             h, l = _pair_tree_sum(pk)
             ys.append((_roll_subs(h, d), _roll_subs(l, d)))
+    elif scatter == "roll":
+        for d in range(SUBS):
+            picks = []
+            for s in range(s_batch):
+                hsl = csh[s * SUBS:(s + 1) * SUBS]
+                lsl = csl[s * SUBS:(s + 1) * SUBS]
+                o = s * ROLL_SLAB_ROWS + 2 * SUBS * d
+                pe_e = pe[o: o + SUBS]
+                pe_s = pe[o + SUBS: o + 2 * SUBS]
+                ue_h = jnp.take_along_axis(hsl, pe_e, axis=1)
+                us_h = jnp.take_along_axis(hsl, pe_s, axis=1)
+                ue_l = jnp.take_along_axis(lsl, pe_e, axis=1)
+                us_l = jnp.take_along_axis(lsl, pe_s, axis=1)
+                dh, e = _two_sum(ue_h, -us_h)
+                picks.append((dh, (ue_l - us_l) + e))
+            h, l = _pair_tree_sum(picks)
+            ys.append((_roll_subs(h, d), _roll_subs(l, d)))
     else:
         for t in range(rounds):
             base = t * 3 * sb8
@@ -1726,7 +1783,14 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
     S = sc.s_batch
     nsteps = sc.nsteps
     R = sc.span_rows
-    if STREAM_VARIANT["xg"] == "chunk" or sc.df64 or R != SPAN_ROWS:
+    if sc.xmap is not None:
+        # free-placement class: gather each slab's 8 arbitrary x blocks
+        # into a per-slab span copy at the XLA level (xmap rows already
+        # emit the (chunk, window) order the kernel expects); the
+        # kernel then runs the plain mono span-64 path with
+        # sbase = slab * 64
+        x2d128 = jnp.take(x2d128, sc.xmap, axis=0)
+    elif STREAM_VARIANT["xg"] == "chunk" or sc.df64 or R != SPAN_ROWS:
         # permute rows within each R-row span from (window, chunk) to
         # (chunk, window) order — one small XLA transpose per call; the
         # kernel then reads every chunk as a static (8,128) slice

@@ -1035,17 +1035,36 @@ def _select_band(trow, tcol, counts, tilem, n_windows, er, ec, ev, cdt):
 
 
 def _coo_stream_cost_ns(g_row: np.ndarray, g_col: np.ndarray,
-                        m: int) -> tuple[float, int, bool]:
+                        m: int) -> tuple[float, int | None, bool | None]:
     """Stream-engine cost estimate for an entry population, using the
     calibrated step/slab/skip model at the geometry and s_batch the
     builder itself would pick (stream_plan.pick_geometry /
     pick_s_batch). Returns (cost_ns, span_rows, dual) so the caller can
     hand the already-picked geometry to the builder instead of paying
-    the occupied-cells sort twice."""
+    the occupied-cells sort twice — (cost, None, None) when the
+    free-placement geometry wins (the builder re-decides; FP
+    populations are small, the repeated cells sort is cheap)."""
     from . import stream_plan as sp
     cells = sp._occupied_cells(g_row, g_col)
-    span, dual = sp.pick_geometry(g_row, g_col, m, cells=cells)
+    span, dual, fp = sp.pick_geometry_fp(g_row, g_col, m, cells=cells)
     uw, uq, uc, nq = cells
+    if fp:
+        _, wcnt_fp = sp._fp_cost(cells)
+        nwin = max(1, -(-m // sp.RW_ROWS))
+        wcnt = np.zeros(nwin, np.int64)
+        wcnt[: wcnt_fp.shape[0]] = wcnt_fp
+        s1, s2, heavy = sp.pick_stream_split(wcnt)
+        if s2 is None:
+            step_ns = float(sp._window_costs(wcnt, s1).sum())
+        else:
+            step_ns = float(np.where(heavy, sp._window_costs(wcnt, s2),
+                                     sp._window_costs(wcnt, s1)).sum()
+                            ) + sp.EXTRA_CLASS_NS
+        # the calibrated window costs already price span-64 slabs
+        # (staging included); add the per-SpMV XLA x-copy gather at its
+        # pessimistic 2x-traffic rate
+        xcopy_ns = float(wcnt.sum()) * sp.SPAN_ROWS * 128 * 4 * 2 / 800.0
+        return step_ns + xcopy_ns, None, None
     C, gwin = sp._group_counts_cells(uw, uq, uc, nq, span)
     per_group = (-(-C.max(axis=1) // sp.CAP)).astype(np.int64)
     nwin = max(1, -(-m // sp.RW_ROWS))

@@ -63,7 +63,7 @@ SPAN_ROWS = 64     # default x2d128 rows per slab superspan (8 windows)
 # spans cost more x-staging chunks per slab (the span read itself
 # measures free — BASELINE.md round 3), so the builder picks the
 # cost-minimizing size per class (pick_span_rows).
-SPAN_CHOICES = (64, 128, 256)
+SPAN_CHOICES = (64, 128, 256, 512)
 MAX_SPAN_ROWS = SPAN_CHOICES[-1]  # x padding slack past the end
 
 # y-scatter encoding the builders emit: "rounds" (rounds design) or
@@ -119,17 +119,52 @@ def stack_step_planes(planes: np.ndarray, s_batch: int,
 # Plane layout per slab: [ue(8) | us(8) | g_0..g_7 (64)] = 80 rows,
 # padded to 96 (int8 operands want row counts in 32-row tiles).
 OFFS_SLAB_ROWS = 96
+# "roll" scatter (the second candidate): the rounds design's exact
+# per-round boundary-gather dataflow, but rounds ordered by the STATIC
+# offset d = (tgt - src) % 8 so the dynamic rsrc sublane gather becomes
+# a per-step hoisted rotate. Plane layout per slab:
+# [ue_d0(8) us_d0(8) ue_d1(8) ... us_d7(8)] = 128 rows.
+ROLL_SLAB_ROWS = 128
 
 
-def offs_step_rows(s_batch: int) -> int:
-    return OFFS_SLAB_ROWS * s_batch
+def scatter_slab_rows(scatter: str) -> int:
+    return OFFS_SLAB_ROWS if scatter == "offs" else ROLL_SLAB_ROWS
 
 
 def stack_offs_planes(planes: np.ndarray, s_batch: int) -> np.ndarray:
-    """Per-slab offs planes -> per-step stack (plain reshape: the offs
-    kernel reads each slab's planes as contiguous static slices)."""
+    """Per-slab offs/roll planes -> per-step stack (plain reshape: the
+    kernels read each slab's planes as contiguous static slices)."""
     nsteps = planes.shape[0] // s_batch
-    return planes.reshape(nsteps, offs_step_rows(s_batch), LANES)
+    return planes.reshape(nsteps, planes.shape[1] * s_batch, LANES)
+
+
+def _runs_planes_roll(slab_of: np.ndarray, sub_of: np.ndarray,
+                      lane_of: np.ndarray, r: np.ndarray, nslabs: int):
+    """Roll-scatter planes: the rounds planes re-keyed by the static
+    offset d = (tgt - src) % 8 with NO rsrc plane (the target row is
+    src + d, a static rotate). Same collision-freedom proof as offs."""
+    nz = r.shape[0]
+    skey = slab_of * SUBS + sub_of
+    newrun = np.ones(nz, bool)
+    newrun[1:] = (skey[1:] != skey[:-1]) | (r[1:] != r[:-1])
+    runs = np.nonzero(newrun)[0]
+    run_end_e = np.append(runs[1:], nz) - 1
+
+    c_slab = slab_of[runs]
+    c_src = sub_of[runs]
+    c_row = r[runs]
+    c_start = lane_of[runs] - 1
+    c_end = lane_of[run_end_e]
+    rloc = c_row - (c_row >> 10 << 10)
+    c_tgt = (rloc >> 7).astype(np.int64)
+    c_j = rloc & (LANES - 1)
+    d = ((c_tgt - c_src) % SUBS).astype(np.int64)
+
+    planes = np.zeros((nslabs, ROLL_SLAB_ROWS, LANES), np.int8)
+    planes[c_slab, 2 * SUBS * d + c_src, c_j] = c_end.astype(np.int8)
+    planes[c_slab, 2 * SUBS * d + SUBS + c_src, c_j] = c_start.astype(
+        np.int8)
+    return planes, SUBS
 
 
 def _runs_planes_offs(slab_of: np.ndarray, sub_of: np.ndarray,
@@ -192,6 +227,16 @@ class StreamChunks:
     #               slab's SECOND superspan base (== sbase on slabs
     #               that carry one span); entries with vidx bit 13 set
     #               read their x from this span
+    xmap: Any = None  # (nslabs*64,) int32 — FREE-PLACEMENT classes
+    #               only: per-slab x gather rows. Each sublane slot maps
+    #               to an ARBITRARY 1024-value x block (no span
+    #               alignment); the call gathers
+    #               xcopy = x2d128[xmap] once at the XLA level and the
+    #               kernel runs the plain mono span-64 path over it
+    #               (sbase = slab*64). Built for hypersparse
+    #               populations whose aligned (window, span) groups are
+    #               mostly empty: staging stays at the 8-chunk span-64
+    #               cost while packing reaches the per-cell ceiling.
 
     s_batch: int = dataclasses.field(default=4,
                                      metadata=dict(static=True))
@@ -463,6 +508,52 @@ def _dual_slab_count(C: np.ndarray, gwin: np.ndarray) -> int:
     return total
 
 
+# free-placement margin: the FP candidate must beat the best aligned
+# geometry's modeled cost by this factor (its XLA x-gather cost is
+# priced pessimistically at 2x copy traffic until measured)
+FP_MARGIN = 0.8
+
+
+def _fp_cost(cells) -> tuple[float, np.ndarray]:
+    """Free-placement cost model from occupied (window, 1024-block)
+    cells: slabs pack 8 arbitrary cell-slots each (a cell with > CAP
+    entries splits into ceil(cnt/CAP) slots), staging stays at the
+    span-64 8-chunk cost, plus the per-SpMV XLA x-copy gather
+    (nslabs * 32 KB, priced at 2x streaming). Returns (cost_ns,
+    per-window slab counts)."""
+    uw, uq, uc, nq = cells
+    slots_per_cell = -(-uc // CAP)
+    nwin = int(uw.max()) + 1 if uw.size else 1
+    wslots = np.zeros(nwin, np.int64)
+    np.add.at(wslots, uw, slots_per_cell)
+    wslabs = -(-wslots // SUBS)
+    slabs = int(wslabs.sum())
+    kernel_ns = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * SUBS)
+    xcopy_ns = slabs * SPAN_ROWS * LANES * 4 * 2 / 800.0
+    return kernel_ns + xcopy_ns, wslabs
+
+
+def pick_geometry_fp(g_row: np.ndarray, g_col: np.ndarray, m: int,
+                     cells=None):
+    """(span_rows, dual, fp): the aligned pick plus the free-placement
+    candidate (see StreamChunks.xmap). FP must beat the aligned winner
+    by FP_MARGIN — it pays an XLA x-gather per SpMV, so only
+    populations whose aligned groups are mostly empty (hypersparse)
+    take it."""
+    if cells is None:
+        cells = _occupied_cells(g_row, g_col)
+    span, dual = pick_geometry(g_row, g_col, m, cells=cells)
+    C, gwin = _group_counts_cells(*cells, span)
+    if dual:
+        slabs = _dual_slab_count(C, gwin)
+    else:
+        slabs = int((-(-C.max(axis=1) // CAP)).sum())
+    chunks = (2 if dual else 1) * (span // 8)
+    aligned_cost = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * chunks)
+    fp_ns, _ = _fp_cost(cells)
+    return span, dual, bool(fp_ns < FP_MARGIN * aligned_cost)
+
+
 def pick_geometry(g_row: np.ndarray, g_col: np.ndarray, m: int,
                   cells=None):
     """Jointly pick (span_rows, dual) by the slab cost model.
@@ -573,7 +664,7 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
     re-padded at each class's rate. `raw_planes`: st.planes is still in
     the RAW per-slab layout (build_stream_chunks with stack=False) — a
     host-only fast path skipping one stack+unstack round trip."""
-    offs = st.scatter == "offs"
+    offs = st.scatter != "rounds"
 
     def _stack(pr, s):
         return (stack_offs_planes(pr, s) if offs
@@ -613,11 +704,13 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
     vidx = np.asarray(st.vidx)
     sbase = np.asarray(st.sbase)
     sbase2 = np.asarray(st.sbase2) if st.sbase2 is not None else None
+    xmap = (np.asarray(st.xmap).reshape(-1, SPAN_ROWS)
+            if st.xmap is not None else None)
     if raw_planes:
         planes_raw = np.asarray(st.planes)
     elif offs:
-        planes_raw = np.asarray(st.planes).reshape(-1, OFFS_SLAB_ROWS,
-                                                   LANES)
+        planes_raw = np.asarray(st.planes).reshape(
+            -1, scatter_slab_rows(st.scatter), LANES)
     else:
         planes_raw = unstack_step_planes(np.asarray(st.planes), S0, R)
     val_lo = np.asarray(st.val_lo) if st.df64 else None
@@ -630,10 +723,12 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
         tot = int(padded.sum())
         v = np.zeros((tot, SUBS, LANES), val.dtype)
         vi = np.zeros((tot, SUBS, LANES), np.int16)
-        pr = np.zeros((tot, OFFS_SLAB_ROWS if offs else plane_rows(R),
-                       LANES), np.int8)
+        pr = np.zeros((tot, scatter_slab_rows(st.scatter) if offs
+                       else plane_rows(R), LANES), np.int8)
         sb = np.zeros(tot, np.int32)
         sb2 = np.zeros(tot, np.int32) if sbase2 is not None else None
+        xm = (np.zeros((tot, SPAN_ROWS), np.int32)
+              if xmap is not None else None)
         ld = np.zeros(tot, np.int64)
         vl = (np.zeros((tot, SUBS, LANES), np.float32)
               if val_lo is not None else None)
@@ -648,6 +743,8 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
             sb[dst] = sbase[idx]
             if sb2 is not None:
                 sb2[dst] = sbase2[idx]
+            if xm is not None:
+                xm[dst] = xmap[idx]
             ld[dst] = load[idx]
             if vl is not None:
                 vl[dst] = val_lo[idx]
@@ -656,10 +753,16 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
         cf = np.ones(cwc.shape[0], np.int32)
         cf[1:] = (cwc[1:] != cwc[:-1]).astype(np.int32)
         sact = (ld.reshape(-1, s).sum(axis=1) > 0).astype(np.int32)
+        if xm is not None:
+            # free-placement: span base is slab * SPAN_ROWS in the
+            # class's own x copy
+            sb = np.arange(tot, dtype=np.int32) * SPAN_ROWS
         return StreamChunks(
             val=jnp.asarray(v), vidx=jnp.asarray(vi),
             planes=jnp.asarray(_stack(pr, s)),
             sbase=jnp.asarray(sb), cw=jnp.asarray(cwc),
+            xmap=(jnp.asarray(xm.reshape(-1)) if xm is not None
+                  else None),
             cfirst=jnp.asarray(cf), sactive=jnp.asarray(sact),
             val_lo=jnp.asarray(vl) if vl is not None else None,
             sbase2=jnp.asarray(sb2) if sb2 is not None else None,
@@ -691,7 +794,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                         span_rows: Optional[int] = None,
                         device: bool = True,
                         stack: bool = True,
-                        dual: Optional[bool] = None):
+                        dual: Optional[bool] = None,
+                        fp: Optional[bool] = None):
     """Compile a global COO entry list into stream slabs.
 
     Returns (StreamChunks | None, spill); spill is always empty in this
@@ -710,13 +814,19 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     if nz == 0:
         return None, empty_spill
     if span_rows is None and dual is None:
-        span_rows, dual = pick_geometry(g_row, g_col, m)
+        span_rows, dual, fp_pick = pick_geometry_fp(g_row, g_col, m)
+        if fp is None:
+            fp = fp_pick
     elif span_rows is None:
         span_rows = pick_span_rows(g_row, g_col, m)
     dual = bool(dual)
-    if STREAM_SCATTER == "offs":
-        # the native builder emits rounds planes; offs planes come from
-        # the NumPy reference builder (native export once the default)
+    if fp:
+        return _build_fp(g_row, g_col, val, m, cdt, s_batch, device,
+                         stack), empty_spill
+    if STREAM_SCATTER != "rounds":
+        # the native builder emits rounds planes; offs/roll planes come
+        # from the NumPy reference builder (native export once a
+        # non-rounds default is measured-in)
         use_native = False
     sh = 7 + int(span_rows).bit_length() - 1     # log2(span_rows * 128)
     vmask = 16 * span_rows - 1                   # sub-window col mask
@@ -798,6 +908,9 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     if STREAM_SCATTER == "offs":
         planes, rounds = _runs_planes_offs(slab_of, sub_of, lane_of, r,
                                            nslabs)
+    elif STREAM_SCATTER == "roll":
+        planes, rounds = _runs_planes_roll(slab_of, sub_of, lane_of, r,
+                                           nslabs)
     else:
         planes, rounds = _runs_planes(slab_of, sub_of, lane_of, r,
                                       nslabs)
@@ -807,6 +920,85 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                           s_batch, rounds, span_rows=span_rows,
                           device=device, stack=stack,
                           scatter=STREAM_SCATTER), empty_spill
+
+
+def _build_fp(g_row, g_col, val, m, cdt, s_batch, device, stack
+              ) -> Optional[StreamChunks]:
+    """Free-placement slabs: each of a slab's 8 sublane slots maps to
+    an ARBITRARY (same-window) 1024-value x block via the plan-time
+    xmap gather rows (StreamChunks.xmap) — no span alignment, so
+    hypersparse populations pack at their per-cell ceiling while
+    staging stays at the mono span-64 cost. The kernel is the plain
+    mono path over the gathered x copy (sbase = slab * 64)."""
+    n_windows = max(1, -(-m // RW_ROWS))
+    nz = g_row.shape[0]
+    if nz == 0:
+        return None
+    win = (g_row >> 10).astype(np.int64)
+    blk = (g_col >> 10).astype(np.int64)
+    order = np.lexsort((g_row, blk, win))
+    r = g_row[order]
+    c = g_col[order]
+    v = val[order]
+    win_o, blk_o = win[order], blk[order]
+
+    ckey = win_o * (np.int64(1) << 34) + blk_o
+    newc = np.ones(nz, bool)
+    newc[1:] = ckey[1:] != ckey[:-1]
+    cid = np.cumsum(newc) - 1
+    rank_in_cell = _rank_within(cid)
+    slot_in_cell = rank_in_cell // CAP
+    lane_of = rank_in_cell % CAP + 1
+    ccnt = np.bincount(cid)
+    slots_per_cell = -(-ccnt // CAP)
+    slot_start = np.concatenate([[0], np.cumsum(slots_per_cell)])[:-1]
+    slot_of = slot_start[cid] + slot_in_cell
+    cstart = np.nonzero(newc)[0]
+    slot_win = np.repeat(win_o[cstart], slots_per_cell)
+    slot_blk = np.repeat(blk_o[cstart], slots_per_cell)
+
+    # pack slots 8 per slab within each window (slots arrive
+    # (window, block)-sorted); pad window slab counts to s_batch
+    srank = _rank_within(slot_win)
+    raw_slab_in_win = srank // SUBS
+    sub_of_slot = srank % SUBS
+    wcnt = np.zeros(n_windows, np.int64)
+    np.maximum.at(wcnt, slot_win, raw_slab_in_win + 1)
+    slabs_per_win = np.maximum(1, wcnt)
+    if s_batch is None:
+        s_batch = pick_s_batch(wcnt)
+    slabs_pad = -(-slabs_per_win // s_batch) * s_batch
+    slab_start = np.concatenate([[0], np.cumsum(slabs_pad)])[:-1]
+    nslabs = int(slabs_pad.sum())
+    slab_of_slot = slab_start[slot_win] + raw_slab_in_win
+    slab_of = slab_of_slot[slot_of]
+    sub_of = sub_of_slot[slot_of]
+
+    val_arr = np.zeros((nslabs, SUBS, LANES), cdt)
+    vidx_arr = np.zeros((nslabs, SUBS, LANES), np.int16)
+    val_arr[slab_of, sub_of, lane_of] = v.astype(cdt)
+    vidx_arr[slab_of, sub_of, lane_of] = (c & (RW_ROWS - 1)).astype(
+        np.int16)
+
+    xmap = np.zeros((nslabs, SPAN_ROWS), np.int32)
+    cc = np.arange(XBLOCK_ROWS, dtype=np.int32)
+    xmap[slab_of_slot, cc[:, None] * SUBS + sub_of_slot[None, :]] = (
+        slot_blk[None, :] * XBLOCK_ROWS + cc[:, None]).astype(np.int32)
+
+    if STREAM_SCATTER == "offs":
+        planes, rounds = _runs_planes_offs(slab_of, sub_of, lane_of, r,
+                                           nslabs)
+    elif STREAM_SCATTER == "roll":
+        planes, rounds = _runs_planes_roll(slab_of, sub_of, lane_of, r,
+                                           nslabs)
+    else:
+        planes, rounds = _runs_planes(slab_of, sub_of, lane_of, r,
+                                      nslabs)
+    win_arr = np.repeat(np.arange(n_windows), slabs_pad)
+    return _finish_stream(val_arr, vidx_arr, planes, None, win_arr,
+                          s_batch, rounds, span_rows=SPAN_ROWS,
+                          device=device, stack=stack,
+                          scatter=STREAM_SCATTER, xmap_arr=xmap)
 
 
 def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
@@ -820,7 +1012,7 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
     are merged row-sorted per (slab, sublane), so runs, the coloring,
     and every downstream stage are the mono machinery unchanged."""
     n_windows = max(1, -(-m // RW_ROWS))
-    if STREAM_SCATTER == "offs":
+    if STREAM_SCATTER != "rounds":
         use_native = False
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
@@ -949,6 +1141,9 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
     if STREAM_SCATTER == "offs":
         planes, rounds = _runs_planes_offs(slab_of, sub_o2, lane_of, r2,
                                            nslabs)
+    elif STREAM_SCATTER == "roll":
+        planes, rounds = _runs_planes_roll(slab_of, sub_o2, lane_of, r2,
+                                           nslabs)
     else:
         planes, rounds = _runs_planes(slab_of, sub_o2, lane_of, r2,
                                       nslabs)
@@ -981,12 +1176,21 @@ def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
                    np.zeros(0, np.float64))
     if g_row.shape[0] == 0:
         return (None, None), empty_spill
+    fp = False
     if span_rows is None and dual is None:
-        span_rows, dual = pick_geometry(g_row, g_col, m)
+        span_rows, dual, fp = pick_geometry_fp(g_row, g_col, m)
     elif span_rows is None:
         span_rows = pick_span_rows(g_row, g_col, m)
     dual = bool(dual)
-    if STREAM_SCATTER == "offs":
+    if fp:
+        # free-placement class: NumPy builder + host split (the native
+        # export emits aligned-span plans only)
+        st = _build_fp(g_row, g_col, val, m, cdt, None, device=False,
+                       stack=False)
+        if st is None:
+            return (None, None), empty_spill
+        return split_stream_chunks(st, raw_planes=True), empty_spill
+    if STREAM_SCATTER != "rounds":
         use_native = False   # native class export emits rounds planes
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
@@ -1033,7 +1237,8 @@ def to_device(sc: StreamChunks) -> StreamChunks:
         cw=jnp.asarray(sc.cw), cfirst=jnp.asarray(sc.cfirst),
         sactive=jnp.asarray(sc.sactive),
         val_lo=None if sc.val_lo is None else jnp.asarray(sc.val_lo),
-        sbase2=None if sc.sbase2 is None else jnp.asarray(sc.sbase2))
+        sbase2=None if sc.sbase2 is None else jnp.asarray(sc.sbase2),
+        xmap=None if sc.xmap is None else jnp.asarray(sc.xmap))
 
 
 def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
@@ -1043,7 +1248,8 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
                    stack: bool = True,
                    sbase2_arr=None,
                    dual: bool = False,
-                   scatter: str = "rounds") -> StreamChunks:
+                   scatter: str = "rounds",
+                   xmap_arr=None) -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
     cluster into trailing steps the kernel can skip), stack the round
     planes per step, and build the per-step control scalars. f64 values
@@ -1060,9 +1266,14 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
     planes = planes[order]
     if stack:
         planes = (stack_offs_planes(planes, s_batch)
-                  if scatter == "offs"
+                  if scatter != "rounds"
                   else stack_step_planes(planes, s_batch, rounds))
-    sbase = sbase[order]
+    if xmap_arr is not None:
+        # free-placement: the x copy is gathered in slab order, so the
+        # span base is just slab * SPAN_ROWS
+        xmap_arr = xmap_arr[order]
+        sbase = np.arange(nslabs, dtype=np.int64) * SPAN_ROWS
+    sbase = sbase[order] if xmap_arr is None else sbase
     if sbase2_arr is not None:
         sbase2_arr = sbase2_arr[order]
     load = load[order]
@@ -1096,5 +1307,7 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
         val_lo=val_lo,
         sbase2=(put(sbase2_arr.astype(np.int32))
                 if sbase2_arr is not None else None),
+        xmap=(put(xmap_arr.reshape(-1).astype(np.int32))
+              if xmap_arr is not None else None),
         s_batch=s_batch, rounds_=rounds, df64=df64,
         span_rows=span_rows, dual=dual, scatter=scatter)
