@@ -101,6 +101,7 @@ def main() -> int:
         import jax.numpy as jnp
         jax.config.update("jax_enable_x64", True)
         for f64_name, f32_ms in (("banded_large", details[0].ms),
+                                 ("powerlaw_large", details[1].ms),
                                  ("mixed_large", details[2].ms)):
             csr = generate.get_matrix(f64_name)
             op64 = TileSpMV(csr, compute_dtype=jnp.float64)

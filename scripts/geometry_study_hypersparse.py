@@ -80,8 +80,14 @@ print(f"{'free-placement':16s} {int(wslabs.sum()):6d} "
       f"   (cells too small: slot fill = avg cell count / 127)")
 span, dual, fp = sp.pick_geometry_fp(g_r, g_c, csr.m)
 print(f"\npick: span={span} dual={dual} fp={fp}")
-print(f"staging asymptote: {2.3 * csr.n / (128 * nz / (csr.m / 1024)):.2f}"
-      f" ns/entry -> {nz * 0.22 / 1e3:.0f} us floor")
+C, gwin = sp._group_counts_cells(uw, uq, uc, nq, span)
+slabs_pick = (sp._dual_slab_count(C, gwin) if dual
+              else int((-(-C.max(axis=1) // sp.CAP)).sum()))
+chunks_pick = (2 if dual else 1) * (span // 8)
+stage_e = sp.STAGE_CHUNK_NS * chunks_pick / (nz / slabs_pick)
+print(f"staging asymptote at the pick: {stage_e:.2f} ns/entry "
+      f"-> {nz * stage_e / 1e3:.0f} us floor (span-independent: "
+      f"entries/slab and chunks/slab both scale with span)")
 
 if "--bench" in sys.argv:
     from tilespmv_tpu.bench.harness import benchmark_op

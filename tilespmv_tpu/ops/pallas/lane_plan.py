@@ -1139,14 +1139,17 @@ def build_lane_plan(tm: TileMatrix, compute_dtype=jnp.float32,
     if use_stream is None:
         use_stream = (coo_entries >= STREAM_MIN_ENTRIES
                       and coo_avg < COO_SPARSE_MIN_AVG)
-        if use_stream and cdt != np.dtype(np.float64):
+        if use_stream:
             # window-sparse populations (entries per (window, span)
             # group far below slab capacity) pad slabs and pay per-step
             # cost; reroute to the W-classes when the absorb estimate
-            # clearly wins (see STREAM_ABSORB_MARGIN). f64 keeps the
-            # plain rule: its W-classes densify (or stream) anyway, so
-            # absorbed singletons would just bounce back via
-            # DF64_ROUND_FILL_MIN.
+            # clearly wins (see STREAM_ABSORB_MARGIN). f64 uses the
+            # SAME f32-modeled decision: the round-4 bounce-back
+            # concern (DF64_ROUND_FILL_MIN returning absorbed
+            # singletons to the stream) did not materialize — measured
+            # round 5 (interleaved arms, v5e): absorb wins stencil2d
+            # f64 1.22x, stencil3d 1.17x, diag_hubs 1.16x, all ending
+            # as pure dense-df64 plans.
             ccounts0 = np.diff(bk.nnz_ptr)
             owner0 = np.repeat(np.arange(bk.num_tiles), ccounts0)
             ctr0 = tm.tile_rowidx[bk.tile_ids].astype(np.int64)
