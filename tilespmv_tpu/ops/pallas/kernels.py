@@ -1101,7 +1101,8 @@ def _stream_kernel(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
                    s_batch: int, rounds: int, acc_dtype,
                    df64: bool = False, has_prev: bool = False,
                    interpret: bool = False, span_rows: int = SPAN_ROWS,
-                   dual: bool = False, scatter: str = "rounds"):
+                   dual: bool = False, scatter: str = "rounds",
+                   scan_levels: int = -1, has_segmask: bool = False):
     """One step = `s_batch` (8,128) entry slabs: hardware-gather x per
     slab superspan, prefix-sum by one batched matmul, then 3-gather
     boundary-difference scatter rounds (see stream_plan.py module doc).
@@ -1117,6 +1118,10 @@ def _stream_kernel(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
     n_out = 2 if df64 else 1
     if has_prev:
         refs = refs[: -2 * n_out] + refs[-n_out:]
+    seg_ref = None
+    if has_segmask:
+        seg_ref = refs[6]
+        refs = refs[:6] + refs[7:]
     out_refs = refs[-2:] if df64 else refs[-1:]
 
     @pl.when((sactive[i] == 0) & (cfirst[i] == 1))
@@ -1131,7 +1136,8 @@ def _stream_kernel(sbase, sbase2, cw, cfirst, sactive,  # scalar prefetch
                               s_batch=s_batch,
                               rounds=rounds, interpret=interpret,
                               span_rows=span_rows, dual=dual,
-                              scatter=scatter)
+                              scatter=scatter, scan_levels=scan_levels,
+                              seg_ref=seg_ref)
         else:
             _stream_step(sbase, sbase2, cfirst, *refs, i=i,
                          s_batch=s_batch,
@@ -1583,7 +1589,7 @@ def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
                       vlo_ref, vidx_ref, planes_ref, out_ref, out_lo_ref,
                       *, i, s_batch, rounds, interpret,
                       span_rows=SPAN_ROWS, dual=False,
-                      scatter="rounds"):
+                      scatter="rounds", scan_levels=-1, seg_ref=None):
     """Double-f32 stream step: the PLAN (slabs, round planes) is
     identical to f32; only the arithmetic changes —
 
@@ -1698,14 +1704,31 @@ def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
     csh = jnp.concatenate(chs, axis=0)      # (S*8, 128)
     csl = jnp.concatenate(cls, axis=0)
 
-    # compensated Kogge-Stone inclusive scan along lanes
-    k = 1
-    while k < LANES:
-        rh = _shift_lanes(csh, k)
-        rl = _shift_lanes(csl, k)
-        csh, e = _two_sum(csh, rh)
-        csl = csl + rl + e
-        k *= 2
+    if seg_ref is not None:
+        # SEGMENTED compensated Kogge-Stone (round 5): plan-time bit
+        # planes confine the scan to runs, so csum[run end] IS the run
+        # sum pair — the rstart boundary gathers and the per-round
+        # boundary two-sum disappear, and the depth shrinks from
+        # log2(128) to ceil(log2(max run length)) for this class.
+        mb = jnp.concatenate([seg_ref[s].astype(jnp.int32)
+                              for s in range(s_batch)], axis=0)
+        k = 1
+        for lvl in range(scan_levels):
+            m = ((mb >> lvl) & 1).astype(jnp.float32)
+            rh = _shift_lanes(csh, k) * m
+            rl = _shift_lanes(csl, k) * m
+            csh, e = _two_sum(csh, rh)
+            csl = csl + rl + e
+            k *= 2
+    else:
+        # compensated Kogge-Stone inclusive scan along lanes
+        k = 1
+        while k < LANES:
+            rh = _shift_lanes(csh, k)
+            rl = _shift_lanes(csl, k)
+            csh, e = _two_sum(csh, rh)
+            csl = csl + rl + e
+            k *= 2
 
     pe = planes_ref[0]
     sb8 = s_batch * SUBS
@@ -1740,6 +1763,11 @@ def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
                 lsl = csl[s * SUBS:(s + 1) * SUBS]
                 o = s * ROLL_SLAB_ROWS + 2 * SUBS * d
                 pe_e = pe[o: o + SUBS]
+                if seg_ref is not None:
+                    picks.append(
+                        (jnp.take_along_axis(hsl, pe_e, axis=1),
+                         jnp.take_along_axis(lsl, pe_e, axis=1)))
+                    continue
                 pe_s = pe[o + SUBS: o + 2 * SUBS]
                 ue_h = jnp.take_along_axis(hsl, pe_e, axis=1)
                 us_h = jnp.take_along_axis(hsl, pe_s, axis=1)
@@ -1757,14 +1785,19 @@ def _stream_step_df64(sbase, sbase2, cfirst, xh_ref, xl_ref, val_ref,
                 lsl = csl[s * SUBS:(s + 1) * SUBS]
                 o = base + s * SUBS
                 pe_e = pe[o: o + SUBS]
-                pe_s = pe[sb8 + o: sb8 + o + SUBS]
                 rsrc = pe[2 * sb8 + o: 2 * sb8 + o + SUBS]
-                ue_h = jnp.take_along_axis(hsl, pe_e, axis=1)
-                us_h = jnp.take_along_axis(hsl, pe_s, axis=1)
-                ue_l = jnp.take_along_axis(lsl, pe_e, axis=1)
-                us_l = jnp.take_along_axis(lsl, pe_s, axis=1)
-                dh, e = _two_sum(ue_h, -us_h)
-                dl = (ue_l - us_l) + e
+                if seg_ref is not None:
+                    # segmented scan: csum[end] is the run sum pair
+                    dh = jnp.take_along_axis(hsl, pe_e, axis=1)
+                    dl = jnp.take_along_axis(lsl, pe_e, axis=1)
+                else:
+                    pe_s = pe[sb8 + o: sb8 + o + SUBS]
+                    ue_h = jnp.take_along_axis(hsl, pe_e, axis=1)
+                    us_h = jnp.take_along_axis(hsl, pe_s, axis=1)
+                    ue_l = jnp.take_along_axis(lsl, pe_e, axis=1)
+                    us_l = jnp.take_along_axis(lsl, pe_s, axis=1)
+                    dh, e = _two_sum(ue_h, -us_h)
+                    dl = (ue_l - us_l) + e
                 ys.append((jnp.take_along_axis(dh, rsrc, axis=0),
                            jnp.take_along_axis(dl, rsrc, axis=0)))
     yh, yl = _pair_tree_sum(ys)
@@ -1809,12 +1842,19 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
     if sc.df64:
         xh = x2d128.astype(jnp.float32)
         xl = (x2d128 - xh.astype(jnp.float64)).astype(jnp.float32)
+        # segmented scan only in the compiled path (the interpret
+        # branch is the exact-f64 oracle and keeps the legacy
+        # boundary-difference form, which the planes still carry)
+        seg = (sc.segmask is not None and not interpret)
         kernel = functools.partial(_stream_kernel, s_batch=S,
                                    rounds=sc.rounds,
                                    acc_dtype=jnp.float32, df64=True,
                                    has_prev=prev is not None,
                                    interpret=interpret, span_rows=R,
-                                   dual=sc.dual, scatter=sc.scatter)
+                                   dual=sc.dual, scatter=sc.scatter,
+                                   scan_levels=sc.scan_levels if seg
+                                   else -1,
+                                   has_segmask=seg)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(nsteps,),
@@ -1825,11 +1865,13 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                 _chunk_spec((SUBS, LANES), lead=S),      # val lo
                 _chunk_spec((SUBS, LANES), lead=S),      # vidx
                 _chunk_spec((sc.planes.shape[1], LANES), lead=1),
-            ] + ([ospec, ospec] if prev is not None else []),
+            ] + ([_chunk_spec((SUBS, LANES), lead=S)] if seg else [])
+            + ([ospec, ospec] if prev is not None else []),
             out_specs=(ospec, ospec),
         )
         oshape = jax.ShapeDtypeStruct((SUBS, n_windows * LANES),
                                       jnp.float32)
+        n_in = 11 + int(seg)
         # the interpret branch of _stream_step_df64 computes in exact
         # f64 (no Mosaic = no int64-index restriction), so trace it
         # with x64 left on
@@ -1839,11 +1881,12 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=(oshape, oshape),
-                input_output_aliases=({11: 0, 12: 1}
+                input_output_aliases=({n_in: 0, n_in + 1: 1}
                                       if prev is not None else {}),
                 interpret=interpret,
             )(sc.sbase, sb2, sc.cw, sc.cfirst, sc.sactive, xh, xl,
               sc.val, sc.val_lo, sc.vidx, sc.planes,
+              *((sc.segmask,) if seg else ()),
               *(tuple(prev) if prev is not None else ()))
     acc_dtype = (jnp.float32 if x2d128.dtype != jnp.float64
                  else jnp.float64)

@@ -71,6 +71,38 @@ MAX_SPAN_ROWS = SPAN_CHOICES[-1]  # x padding slack past the end
 # OFFS_SLAB_ROWS below). Arbitrated e2e under the interleaved harness
 # (scripts/ab_stream_scatter.py); default = measured winner.
 STREAM_SCATTER = "rounds"
+# df64 segmented scan (StreamChunks.segmask): plan-time run-membership
+# bit planes confine the compensated Kogge-Stone to runs, so
+# csum[run end] IS the run sum pair — the rstart boundary gathers and
+# the per-round boundary two-sum disappear and the depth shrinks to
+# ceil(log2(max run length)). Arbitrated e2e on v5e (round 5,
+# scripts/ab_segscan_df64.py): powerlaw_large df64 1728 -> 1372 us
+# (1.26x), rel_err < 1e-9 both arms. Default ON; forces the NumPy
+# builders for df64 (the native export does not emit segmask planes —
+# plan build 21 -> ~45 s on powerlaw_large, paid once per matrix and
+# amortized by plan serialization).
+STREAM_SEGSCAN_DF64 = True
+
+
+def _seg_masks(slab_of: np.ndarray, sub_of: np.ndarray,
+               lane_of: np.ndarray, r: np.ndarray, nslabs: int):
+    """Segmented-scan bit planes + depth from entry placements (same
+    contract as _runs_planes): bit k at (slab, sub, lane) set iff the
+    element 2^k lanes back belongs to the same run."""
+    nz = r.shape[0]
+    skey = slab_of * SUBS + sub_of
+    newrun = np.ones(nz, bool)
+    newrun[1:] = (skey[1:] != skey[:-1]) | (r[1:] != r[:-1])
+    run_start = np.maximum.accumulate(
+        np.where(newrun, np.arange(nz), 0))
+    off = np.arange(nz) - run_start            # offset within run
+    levels = int(off.max()).bit_length() if nz else 0
+    bits = np.zeros(nz, np.int64)
+    for k in range(levels):
+        bits |= ((off >> k) > 0).astype(np.int64) << k
+    mask = np.zeros((nslabs, SUBS, LANES), np.int8)
+    mask[slab_of, sub_of, lane_of] = bits.astype(np.int8)
+    return mask, levels
 
 # int8 plane rows per slab in the RAW (builder) layout: R rounds x
 # [rend | rstart | rsrc] x 8 sublanes (rows t*24 + {0,8,16} + s); R is a
@@ -227,6 +259,14 @@ class StreamChunks:
     #               slab's SECOND superspan base (== sbase on slabs
     #               that carry one span); entries with vidx bit 13 set
     #               read their x from this span
+    segmask: Any = None  # (nslabs, 8, 128) int8 — df64 segmented-scan
+    #               bit planes (bit k set at lane l iff element l-2^k
+    #               is in the same run): the compensated Kogge-Stone
+    #               adds only within runs, so csum[run end] IS the run
+    #               sum pair and the per-round rstart gathers + boundary
+    #               two-sum disappear; scan depth = scan_levels instead
+    #               of log2(128). Built by the NumPy df64 builders under
+    #               STREAM_SEGSCAN_DF64.
     xmap: Any = None  # (nslabs*64,) int32 — FREE-PLACEMENT classes
     #               only: per-slab x gather rows. Each sublane slot maps
     #               to an ARBITRARY 1024-value x block (no span
@@ -264,6 +304,11 @@ class StreamChunks:
     # `planes`.
     scatter: str = dataclasses.field(default="rounds",
                                      metadata=dict(static=True))
+    # segmented-scan depth (df64 + segmask only): ceil(log2(max run
+    # length)) for this class; -1 = legacy full 7-level scan with
+    # rstart boundary gathers
+    scan_levels: int = dataclasses.field(default=-1,
+                                         metadata=dict(static=True))
 
     @property
     def nslabs(self) -> int:
@@ -706,6 +751,8 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
     sbase2 = np.asarray(st.sbase2) if st.sbase2 is not None else None
     xmap = (np.asarray(st.xmap).reshape(-1, SPAN_ROWS)
             if st.xmap is not None else None)
+    segmask = (np.asarray(st.segmask)
+               if st.segmask is not None else None)
     if raw_planes:
         planes_raw = np.asarray(st.planes)
     elif offs:
@@ -729,6 +776,8 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
         sb2 = np.zeros(tot, np.int32) if sbase2 is not None else None
         xm = (np.zeros((tot, SPAN_ROWS), np.int32)
               if xmap is not None else None)
+        sm = (np.zeros((tot, SUBS, LANES), np.int8)
+              if segmask is not None else None)
         ld = np.zeros(tot, np.int64)
         vl = (np.zeros((tot, SUBS, LANES), np.float32)
               if val_lo is not None else None)
@@ -745,6 +794,8 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
                 sb2[dst] = sbase2[idx]
             if xm is not None:
                 xm[dst] = xmap[idx]
+            if sm is not None:
+                sm[dst] = segmask[idx]
             ld[dst] = load[idx]
             if vl is not None:
                 vl[dst] = val_lo[idx]
@@ -763,11 +814,18 @@ def split_stream_chunks(st: StreamChunks, raw_planes: bool = False):
             sbase=jnp.asarray(sb), cw=jnp.asarray(cwc),
             xmap=(jnp.asarray(xm.reshape(-1)) if xm is not None
                   else None),
+            segmask=(jnp.asarray(sm) if sm is not None else None),
             cfirst=jnp.asarray(cf), sactive=jnp.asarray(sact),
             val_lo=jnp.asarray(vl) if vl is not None else None,
             sbase2=jnp.asarray(sb2) if sb2 is not None else None,
             s_batch=s, rounds_=R, df64=st.df64,
-            span_rows=st.span_rows, dual=st.dual, scatter=st.scatter)
+            span_rows=st.span_rows, dual=st.dual, scatter=st.scatter,
+            # per-class scan depth: the base/heavy halves can need
+            # fewer levels than the joint build (mask bit k set iff
+            # run offset >= 2^k, so the class max mask value's
+            # bit_length is exactly its depth)
+            scan_levels=(int(sm.max()).bit_length() if sm is not None
+                         else st.scan_levels))
 
     return build(~heavy, s1), (build(heavy, s2) if s2 is not None
                                else None)
@@ -836,6 +894,8 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                            span_rows, device, stack,
                            use_native=use_native), empty_spill
 
+    if STREAM_SEGSCAN_DF64 and cdt == np.dtype(np.float64):
+        use_native = False   # native export does not emit segmask
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
         raw = native.stream_plan(g_row, g_col, val, m, s_batch,
@@ -914,12 +974,17 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
     else:
         planes, rounds = _runs_planes(slab_of, sub_of, lane_of, r,
                                       nslabs)
+    segmask, levels = (
+        _seg_masks(slab_of, sub_of, lane_of, r, nslabs)
+        if STREAM_SEGSCAN_DF64 and cdt == np.dtype(np.float64)
+        else (None, -1))
 
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
                           s_batch, rounds, span_rows=span_rows,
                           device=device, stack=stack,
-                          scatter=STREAM_SCATTER), empty_spill
+                          scatter=STREAM_SCATTER, segmask_arr=segmask,
+                          scan_levels=levels), empty_spill
 
 
 def _build_fp(g_row, g_col, val, m, cdt, s_batch, device, stack
@@ -994,11 +1059,16 @@ def _build_fp(g_row, g_col, val, m, cdt, s_batch, device, stack
     else:
         planes, rounds = _runs_planes(slab_of, sub_of, lane_of, r,
                                       nslabs)
+    segmask, levels = (
+        _seg_masks(slab_of, sub_of, lane_of, r, nslabs)
+        if STREAM_SEGSCAN_DF64 and cdt == np.dtype(np.float64)
+        else (None, -1))
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, None, win_arr,
                           s_batch, rounds, span_rows=SPAN_ROWS,
                           device=device, stack=stack,
-                          scatter=STREAM_SCATTER, xmap_arr=xmap)
+                          scatter=STREAM_SCATTER, xmap_arr=xmap,
+                          segmask_arr=segmask, scan_levels=levels)
 
 
 def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
@@ -1012,7 +1082,8 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
     are merged row-sorted per (slab, sublane), so runs, the coloring,
     and every downstream stage are the mono machinery unchanged."""
     n_windows = max(1, -(-m // RW_ROWS))
-    if STREAM_SCATTER != "rounds":
+    if STREAM_SCATTER != "rounds" or (STREAM_SEGSCAN_DF64
+                                      and cdt == np.dtype(np.float64)):
         use_native = False
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
@@ -1147,12 +1218,17 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
     else:
         planes, rounds = _runs_planes(slab_of, sub_o2, lane_of, r2,
                                       nslabs)
+    segmask, levels = (
+        _seg_masks(slab_of, sub_o2, lane_of, r2, nslabs)
+        if STREAM_SEGSCAN_DF64 and cdt == np.dtype(np.float64)
+        else (None, -1))
     win_arr = np.repeat(np.arange(n_windows), slabs_pad)
     return _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr,
                           s_batch, rounds, span_rows=span_rows,
                           device=device, stack=stack,
                           sbase2_arr=sbase2, dual=True,
-                          scatter=STREAM_SCATTER)
+                          scatter=STREAM_SCATTER, segmask_arr=segmask,
+                          scan_levels=levels)
 
 
 def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
@@ -1182,6 +1258,8 @@ def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
     elif span_rows is None:
         span_rows = pick_span_rows(g_row, g_col, m)
     dual = bool(dual)
+    if STREAM_SEGSCAN_DF64 and cdt == np.dtype(np.float64):
+        use_native = False   # native export does not emit segmask
     if fp:
         # free-placement class: NumPy builder + host split (the native
         # export emits aligned-span plans only)
@@ -1238,7 +1316,8 @@ def to_device(sc: StreamChunks) -> StreamChunks:
         sactive=jnp.asarray(sc.sactive),
         val_lo=None if sc.val_lo is None else jnp.asarray(sc.val_lo),
         sbase2=None if sc.sbase2 is None else jnp.asarray(sc.sbase2),
-        xmap=None if sc.xmap is None else jnp.asarray(sc.xmap))
+        xmap=None if sc.xmap is None else jnp.asarray(sc.xmap),
+        segmask=None if sc.segmask is None else jnp.asarray(sc.segmask))
 
 
 def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
@@ -1249,7 +1328,9 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
                    sbase2_arr=None,
                    dual: bool = False,
                    scatter: str = "rounds",
-                   xmap_arr=None) -> StreamChunks:
+                   xmap_arr=None,
+                   segmask_arr=None,
+                   scan_levels: int = -1) -> StreamChunks:
     """Order slabs by load within each window (so empty padding slabs
     cluster into trailing steps the kernel can skip), stack the round
     planes per step, and build the per-step control scalars. f64 values
@@ -1274,6 +1355,8 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
         xmap_arr = xmap_arr[order]
         sbase = np.arange(nslabs, dtype=np.int64) * SPAN_ROWS
     sbase = sbase[order] if xmap_arr is None else sbase
+    if segmask_arr is not None:
+        segmask_arr = segmask_arr[order]
     if sbase2_arr is not None:
         sbase2_arr = sbase2_arr[order]
     load = load[order]
@@ -1309,5 +1392,7 @@ def _finish_stream(val_arr, vidx_arr, planes, sbase, win_arr, s_batch,
                 if sbase2_arr is not None else None),
         xmap=(put(xmap_arr.reshape(-1).astype(np.int32))
               if xmap_arr is not None else None),
+        segmask=(put(segmask_arr) if segmask_arr is not None else None),
         s_batch=s_batch, rounds_=rounds, df64=df64,
-        span_rows=span_rows, dual=dual, scatter=scatter)
+        span_rows=span_rows, dual=dual, scatter=scatter,
+        scan_levels=scan_levels)

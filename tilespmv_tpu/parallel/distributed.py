@@ -329,6 +329,12 @@ def _unify_lane_plans(plans: list) -> list:
                                         s_batch=s_b)
                for p in plans]
         ns = max(s.nslabs for s in per)
+        # df64 segmented scan: segmask presence and scan depth are
+        # static pytree data — unify to the max depth, giving empty
+        # shards all-zero masks (zero mask = no in-run neighbors, the
+        # scan is a no-op on their zero contributions)
+        seg_lv = max((s.scan_levels for s in per
+                      if s.segmask is not None), default=-1)
 
         def pad_stream(s):
             planes = s.planes  # per-STEP stacked: (nsteps, R*3*8*S, 128)
@@ -339,8 +345,13 @@ def _unify_lane_plans(plans: list) -> list:
                     [(0, 0),
                      (0, (rounds - s.rounds) * 3 * 8 * s.s_batch),
                      (0, 0)])
+            segmask = s.segmask
+            if seg_lv >= 0 and segmask is None:
+                segmask = jnp.zeros_like(s.vidx, dtype=jnp.int8)
             extra = ns - s.nslabs
-            if not extra and s.rounds == rounds:
+            if not extra and s.rounds == rounds \
+                    and s.scan_levels == seg_lv and (
+                        (segmask is None) == (s.segmask is None)):
                 return s
 
             def padn(a):
@@ -364,8 +375,10 @@ def _unify_lane_plans(plans: list) -> list:
                 sbase2=(jnp.concatenate(
                     [s.sbase2, jnp.zeros(extra, jnp.int32)])
                     if s.sbase2 is not None else None),
+                segmask=padn(segmask) if segmask is not None else None,
                 s_batch=s.s_batch, rounds_=rounds, df64=s.df64,
-                span_rows=s.span_rows, dual=s.dual)
+                span_rows=s.span_rows, dual=s.dual,
+                scan_levels=seg_lv)
         streams = [pad_stream(s) for s in per]
 
     res_n = max(max(p.residual.val.shape[0] for p in plans), 8)
