@@ -449,6 +449,12 @@ def pick_stream_split(wcnt: np.ndarray):
 # (span_rows/8) chunk (8 chunks = 18.5 ns at the default span)
 SLAB_FLOOR_NS = 83.0
 STAGE_CHUNK_NS = 2.3
+# a dual slab's SECOND span stages cheaper than the model's flat
+# 2.3 ns/chunk (its gathers overlap the first span's): refit from the
+# two e2e arbitrations — powerlaw_large r4 (dual won at slab ratio
+# 0.79, consistent with ~1.9) and mixed_large r5 (dual won 143.2 vs
+# 151.7 us at slab ratio 0.886, requiring < 1.5) — split at 1.4
+DUAL_EXTRA_CHUNK_NS = 1.4
 
 
 def pick_span_rows(g_row: np.ndarray, g_col: np.ndarray, m: int) -> int:
@@ -593,8 +599,9 @@ def pick_geometry_fp(g_row: np.ndarray, g_col: np.ndarray, m: int,
         slabs = _dual_slab_count(C, gwin)
     else:
         slabs = int((-(-C.max(axis=1) // CAP)).sum())
-    chunks = (2 if dual else 1) * (span // 8)
-    aligned_cost = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * chunks)
+    stage = STAGE_CHUNK_NS * (span // 8) + (
+        DUAL_EXTRA_CHUNK_NS * (span // 8) if dual else 0.0)
+    aligned_cost = slabs * (SLAB_FLOOR_NS + stage)
     fp_ns, _ = _fp_cost(cells)
     return span, dual, bool(fp_ns < FP_MARGIN * aligned_cost)
 
@@ -606,8 +613,12 @@ def pick_geometry(g_row: np.ndarray, g_col: np.ndarray, m: int,
     Mono slabs pay SLAB_FLOOR + STAGE_CHUNK per x chunk (span_rows/8
     chunks); dual slabs stage TWO spans (double the chunks) but the
     sequential packing merges group tails, so hypersparse populations
-    trade staging for fill. A non-default geometry must beat the
-    (64, mono) default by >5% (same hysteresis as pick_span_rows).
+    trade staging for fill. A non-default SPAN must beat the 64-row
+    default by >5% (same hysteresis as pick_span_rows); dual at the
+    DEFAULT span wins plain ties — the round-5 defaults table measured
+    dual 143.2 vs mono 151.7 us e2e on mixed_large while the model
+    sized it at only -2%, so the 5% hysteresis was suppressing a real
+    win (the model's staging term overprices dual's second span).
     `cells` takes a precomputed _occupied_cells result (the O(nz log
     nz) sort dominates planning on big populations — callers that
     already have it must not pay it twice)."""
@@ -622,12 +633,14 @@ def pick_geometry(g_row: np.ndarray, g_col: np.ndarray, m: int,
         if g_row.size < 0.92 * s_mono * SUBS * CAP:
             cands.append((True, _dual_slab_count(C, gwin)))
         for dual, slabs in cands:
-            chunks = (2 if dual else 1) * (r // 8)
-            cost = slabs * (SLAB_FLOOR_NS + STAGE_CHUNK_NS * chunks)
+            stage = STAGE_CHUNK_NS * (r // 8) + (
+                DUAL_EXTRA_CHUNK_NS * (r // 8) if dual else 0.0)
+            cost = slabs * (SLAB_FLOOR_NS + stage)
             if cost_default is None:
                 cost_default = cost
+            margin = 1.0 if (dual and r == SPAN_CHOICES[0]) else 0.95
             if best_cost is None or (cost < best_cost
-                                     and cost < cost_default * 0.95):
+                                     and cost < cost_default * margin):
                 best, best_cost = (r, dual), cost
     return best
 
