@@ -76,8 +76,12 @@ def main() -> int:
             tm = op.tile_matrix          # convert once, place twice
             if inst == 0:
                 check(op, csr)           # full-vector gate (main.cu:186)
+            # seconds-long chained deltas measure at ~1% spread on
+            # this tunnel (round 5); the default 50 ms delta wobbled
+            # the headline by +-10-20%
             res = benchmark_op(op, name=name, warmup=2, timed_reps=5,
-                               iters_per_rep=50)
+                               iters_per_rep=50, min_delta_s=0.4,
+                               max_spread=0.10, budget_s=8.0)
             if best is None or res.ms < best.ms:
                 best = res
         res = best

@@ -51,6 +51,9 @@ struct StreamPlan {
     std::vector<int32_t> cfirst;  // nsteps
     std::vector<uint8_t> used;    // nslabs*128 color masks
     std::vector<uint8_t> routed;  // nslabs*MAXR*128 target masks
+    std::vector<int8_t> segmask;  // nslabs*8*128 df64 segmented-scan
+                                  // bit planes (want_lo builds only)
+    int32_t seg_levels = 0;       // ceil(log2(max run length))
 };
 
 struct Run {
@@ -445,7 +448,23 @@ void* sp_build(int64_t nz, const int64_t* g_row, const int64_t* g_col,
     // at a source sublane with zero boundary difference ---
 rounds_pass:
     std::vector<uint8_t> busy(nslabs * MAXR * LANES, 0);
+    int32_t max_off = 0;
+    if (want_lo) P->segmask.assign(nslabs * SUBS * LANES, 0);
     for (const Run& rn : all_runs) {
+        if (want_lo) {
+            // segmented-scan bit planes (stream_plan._seg_masks
+            // parity): bit k set at lane L iff element L-2^k is in
+            // the same run, i.e. offset o = L - first_lane >= 2^k
+            for (int32_t L = rn.lane_s; L <= rn.lane_e; ++L) {
+                const int32_t o = L - rn.lane_s;
+                int8_t bits = 0;
+                for (int k = 0; k < 7; ++k)
+                    if (o >> k) bits |= (int8_t)(1 << k);
+                P->segmask[((int64_t)rn.slab * SUBS + rn.sub) * LANES
+                           + L] = bits;
+                if (o > max_off) max_off = o;
+            }
+        }
         const uint8_t um = P->used[(int64_t)rn.slab * LANES + rn.jj];
         const int64_t t = __builtin_popcount(
             um & (uint8_t)((1u << rn.color) - 1));
@@ -461,6 +480,8 @@ rounds_pass:
             |= (uint8_t)(1u << rn.tgt);
     }
     P->rounds = std::max(4, ((max_used + 3) / 4) * 4);
+    P->seg_levels = 0;
+    while ((1 << P->seg_levels) <= max_off) ++P->seg_levels;
     for (int64_t sl = 0; sl < nslabs; ++sl)
         for (int64_t t = 0; t < P->rounds; ++t)
             for (int64_t jj = 0; jj < LANES; ++jj) {
@@ -596,6 +617,15 @@ void sp_export_class(void* h, const int64_t* src, int64_t n_out,
                     }
                 }
     }
+}
+
+void sp_export_segmask(void* h, int8_t* out) {
+    auto* P = (StreamPlan*)h;
+    std::memcpy(out, P->segmask.data(), P->segmask.size());
+}
+
+int32_t sp_seg_levels(void* h) {
+    return ((StreamPlan*)h)->seg_levels;
 }
 
 void sp_release(void* h) { delete (StreamPlan*)h; }

@@ -124,7 +124,9 @@ def _timed(fn, *args) -> float:
 def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
                  name: str = "matrix", warmup: int = 2,
                  timed_reps: int = 5, iters_per_rep: int = 100,
-                 budget_s: float = 3.0) -> BenchResult:
+                 budget_s: float = 3.0,
+                 max_spread: float = 0.30,
+                 min_delta_s: float = 0.025) -> BenchResult:
     """Benchmark one compiled operator on the current default device.
 
     Uses the difference method: per-iteration time is
@@ -158,6 +160,8 @@ def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
     elif op.plan is None and x.shape[0] < n_x:
         x = np.concatenate([x, np.zeros(n_x - x.shape[0], x.dtype)])
     xj = jnp.asarray(x, dtype=op.compute_dtype)
+    MIN_DELTA_S = min_delta_s
+    MAX_SPREAD = max_spread
 
     # Calibrate: pick k_big so the k_big-vs-k_small delta (the quantity we
     # actually measure) is ~50 ms — far above host-round-trip jitter. One
@@ -176,15 +180,19 @@ def benchmark_op(op: TileSpMV, x: Optional[np.ndarray] = None,
     # >= 2 always: k_small = k_big // 16 floors at 1, and k_big == 1
     # would make the (k_big - k_small) divisor zero (seen when a loaded
     # host pushes per_iter_est past 0.05 s with iters_per_rep == 1)
-    k_big = max(2, int(np.clip(0.05 / per_iter_est, iters_per_rep,
+    k_big = max(2, int(np.clip(max(0.05, 2 * MIN_DELTA_S)
+                                / per_iter_est, iters_per_rep,
                                1_000_000)))
 
     # Measure; if the delta we measured is within host jitter or the rep
     # spread is wide, escalate the iteration count and retry rather than
     # recording a noise-floor number (round-2 verdict, weak item 1 —
     # results_r2.csv carried a clamped 1e-9 s row as 139 TFLOPS).
-    MIN_DELTA_S = 0.025       # smallest trustworthy k_big-vs-k_small delta
-    MAX_SPREAD = 0.30
+    # Round-5: the tunnel's 27-55% spread on sub-10-us rows is per-RPC
+    # jitter, not multiplicative drift — SECONDS-long chained deltas
+    # measure at 0-1% spread (scripts/ab_glue_floor.py --deep), so
+    # callers that need tight numbers raise min_delta_s / lower
+    # max_spread and pay the wall time.
     dt = float("nan")
     spread = float("inf")
     for _attempt in range(3):

@@ -235,6 +235,10 @@ def _init_stream_symbols(lib) -> bool:
         lib.sp_export_class.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32] + [ctypes.c_void_p] * 6
+        lib.sp_export_segmask.argtypes = [ctypes.c_void_p,
+                                          ctypes.c_void_p]
+        lib.sp_seg_levels.argtypes = [ctypes.c_void_p]
+        lib.sp_seg_levels.restype = ctypes.c_int32
         lib.sp_release.argtypes = [ctypes.c_void_p]
         return True
     except AttributeError:
@@ -287,6 +291,9 @@ def stream_plan(g_row: np.ndarray, g_col: np.ndarray, val: np.ndarray,
         if want_lo:
             out["val_lo"] = np.zeros((nslabs, 8, 128), np.float32)
             lib.sp_export_vlo(h, out["val_lo"].ctypes.data)
+            out["segmask"] = np.zeros((nslabs, 8, 128), np.int8)
+            lib.sp_export_segmask(h, out["segmask"].ctypes.data)
+            out["scan_levels"] = int(lib.sp_seg_levels(h))
         if dual:
             out["sbase2"] = np.zeros(nslabs, np.int32)
             lib.sp_export_sb2(h, out["sbase2"].ctypes.data)
@@ -335,6 +342,10 @@ def stream_plan_classes(g_row: np.ndarray, g_col: np.ndarray,
         lib.sp_export_loads(h, loads.ctypes.data)
         lib.sp_export_cw(h, cw_all.ctypes.data)
         real = loads > 0
+        segm = None
+        if want_lo:
+            segm = np.zeros((nslabs, 8, 128), np.int8)
+            lib.sp_export_segmask(h, segm.ctypes.data)
         wcnt = np.bincount(cw_all[real].astype(np.int64),
                            minlength=nwin)
         s1, s2, heavy = split_fn(wcnt)
@@ -385,6 +396,12 @@ def stream_plan_classes(g_row: np.ndarray, g_col: np.ndarray,
             out["cfirst"] = cf
             out["sactive"] = (ld.reshape(-1, s).sum(axis=1)
                               > 0).astype(np.int32)
+            if segm is not None:
+                sm = np.zeros((tot, 8, 128), np.int8)
+                sm[dst] = segm[ids]
+                out["segmask"] = sm
+                # per-class depth from the class's own mask bits
+                out["scan_levels"] = int(sm.max()).bit_length()
             return out
 
         classes = [make_class(~heavy, s1)]

@@ -907,8 +907,6 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                            span_rows, device, stack,
                            use_native=use_native), empty_spill
 
-    if STREAM_SEGSCAN_DF64 and cdt == np.dtype(np.float64):
-        use_native = False   # native export does not emit segmask
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
         raw = native.stream_plan(g_row, g_col, val, m, s_batch,
@@ -916,12 +914,17 @@ def build_stream_chunks(g_row: np.ndarray, g_col: np.ndarray,
                                  span_rows=span_rows)
         if raw is not None:
             win_full = np.repeat(raw["cw"], raw["s_batch"])
+            seg = (raw.get("segmask") if STREAM_SEGSCAN_DF64 else None)
             return _finish_stream(raw["val"], raw["vidx"], raw["planes"],
                                   raw["sbase"], win_full,
                                   raw["s_batch"], raw["rounds"],
                                   val_lo_arr=raw.get("val_lo"),
                                   span_rows=span_rows,
-                                  device=device, stack=stack), \
+                                  device=device, stack=stack,
+                                  segmask_arr=seg,
+                                  scan_levels=(raw["scan_levels"]
+                                               if seg is not None
+                                               else -1)), \
                 empty_spill
 
     win = (g_row >> 10).astype(np.int64)
@@ -1095,8 +1098,7 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
     are merged row-sorted per (slab, sublane), so runs, the coloring,
     and every downstream stage are the mono machinery unchanged."""
     n_windows = max(1, -(-m // RW_ROWS))
-    if STREAM_SCATTER != "rounds" or (STREAM_SEGSCAN_DF64
-                                      and cdt == np.dtype(np.float64)):
+    if STREAM_SCATTER != "rounds":
         use_native = False
     if use_native and cdt in (np.dtype(np.float32), np.dtype(np.float64)):
         from ...core import native
@@ -1105,13 +1107,18 @@ def _build_dual(g_row, g_col, val, m, cdt, s_batch, span_rows,
                                  span_rows=span_rows, dual=True)
         if raw is not None and "sbase2" in raw:
             win_full = np.repeat(raw["cw"], raw["s_batch"])
+            seg = (raw.get("segmask") if STREAM_SEGSCAN_DF64 else None)
             return _finish_stream(raw["val"], raw["vidx"], raw["planes"],
                                   raw["sbase"], win_full,
                                   raw["s_batch"], raw["rounds"],
                                   val_lo_arr=raw.get("val_lo"),
                                   span_rows=span_rows,
                                   device=device, stack=stack,
-                                  sbase2_arr=raw["sbase2"], dual=True)
+                                  sbase2_arr=raw["sbase2"], dual=True,
+                                  segmask_arr=seg,
+                                  scan_levels=(raw["scan_levels"]
+                                               if seg is not None
+                                               else -1))
     nz = g_row.shape[0]
     sh = 7 + int(span_rows).bit_length() - 1
     vmask = 16 * span_rows - 1
@@ -1271,8 +1278,6 @@ def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
     elif span_rows is None:
         span_rows = pick_span_rows(g_row, g_col, m)
     dual = bool(dual)
-    if STREAM_SEGSCAN_DF64 and cdt == np.dtype(np.float64):
-        use_native = False   # native export does not emit segmask
     if fp:
         # free-placement class: NumPy builder + host split (the native
         # export emits aligned-span plans only)
@@ -1292,6 +1297,7 @@ def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
             split_fn=pick_stream_split)
         if out is not None:
             df64 = cdt == np.dtype(np.float64)
+            use_seg = STREAM_SEGSCAN_DF64 and df64
             classes = [StreamChunks(
                 val=jnp.asarray(cd["val"]),
                 vidx=jnp.asarray(cd["vidx"]),
@@ -1304,8 +1310,12 @@ def build_stream_classes(g_row: np.ndarray, g_col: np.ndarray,
                         if "val_lo" in cd else None),
                 sbase2=(jnp.asarray(cd["sbase2"])
                         if "sbase2" in cd else None),
+                segmask=(jnp.asarray(cd["segmask"])
+                         if use_seg and "segmask" in cd else None),
                 s_batch=cd["s_batch"], rounds_=cd["rounds"],
-                df64=df64, span_rows=span_rows, dual=dual)
+                df64=df64, span_rows=span_rows, dual=dual,
+                scan_levels=(cd.get("scan_levels", -1)
+                             if use_seg and "segmask" in cd else -1))
                 for cd in out]
             return (classes[0],
                     classes[1] if len(classes) > 1 else None), \
