@@ -163,3 +163,31 @@ def test_sweep_manifest_smoke(tmp_path, capsys):
     assert rc == 0
     assert "sweeping 2 manifest matrices (1 not fetched)" in out
     assert "2/2 ok" in out
+
+
+def test_sweep_resume_skips_recorded_rows(tmp_path, capsys):
+    """--resume: matrices whose name already has a results.csv row are
+    skipped (an interrupted 2,757-matrix sweep restarts where it
+    stopped instead of re-timing everything)."""
+    import shutil
+
+    from tilespmv_tpu import cli
+    root = tmp_path / "corpus"
+    root.mkdir()
+    fix = "tests/fixtures/nist_example.mtx"
+    shutil.copy(fix, root / "a.mtx")
+    shutil.copy(fix, root / "b.mtx")
+    csvp = tmp_path / "results.csv"
+    csvp.write_text("a.mtx,5,5,8,0.001000,0.0160\n")  # prior-run row
+    rc = cli.main(["--sweep-dir", str(root), "--resume",
+                   "--iters", "2", "--reps", "1", "--warmup", "1",
+                   "--csv", str(csvp)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "resumed: 1 matrices already in" in out
+    assert "a.mtx: ms=" not in out      # skipped, not re-timed
+    assert "b.mtx: ms=" in out          # the new row still runs
+    # the pre-existing row was not duplicated
+    names = [ln.split(",", 1)[0]
+             for ln in csvp.read_text().splitlines() if ln]
+    assert names.count("a.mtx") == 1

@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load-plan", default=None, metavar="PATH.npz",
                    help="load a LanePlan instead of converting+planning "
                         "(skips the CPU check; pallas backend only)")
+    p.add_argument("--resume", action="store_true",
+                   help="with --sweep-dir/--sweep-manifest: skip "
+                        "matrices that already have a row in --csv "
+                        "(restart an interrupted sweep where it "
+                        "stopped; pairs with --plan-cache)")
     p.add_argument("--plan-cache", default=None, metavar="DIR",
                    help="with --sweep-dir: reuse cached plans from DIR "
                         "(written on first visit, keyed by file name + "
@@ -183,8 +188,17 @@ def main(argv=None) -> int:
                   f"{args.sweep_dir}")
         if args.plan_cache:
             os.makedirs(args.plan_cache, exist_ok=True)
-        failures = 0
+        done: set = set()
+        if args.resume and args.csv and os.path.exists(args.csv):
+            # results.csv schema: name,m,n,nnz,ms,gflops (append-only);
+            # a name present = that matrix completed in a prior run
+            with open(args.csv) as f:
+                done = {line.split(",", 1)[0] for line in f if "," in line}
+        failures = skipped = 0
         for path in files:
+            if os.path.basename(path) in done:
+                skipped += 1
+                continue
             try:
                 cpath = None
                 if args.plan_cache:
@@ -211,11 +225,20 @@ def main(argv=None) -> int:
                       f"GFLOPS={res.gflops:.2f} "
                       f"reliable={res.reliable}")
                 if args.csv:
-                    append_results_csv(args.csv, res)
+                    if res.reliable:
+                        append_results_csv(args.csv, res)
+                    else:
+                        # noise-floor row: surfaced but never recorded
+                        # (append_results_csv refuses it); NOT a failure
+                        print(f"  not recorded (spread="
+                              f"{res.spread:.2f} over the reliability "
+                              f"gate)", file=sys.stderr)
             except Exception:
                 failures += 1
                 print(f"FAILED: {path}", file=sys.stderr)
                 traceback.print_exc()
+        if skipped:
+            print(f"resumed: {skipped} matrices already in {args.csv}")
         print(f"sweep-dir done: {len(files) - failures}/{len(files)} ok")
         return 0 if failures == 0 else 1
 
