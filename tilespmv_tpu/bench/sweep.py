@@ -26,7 +26,8 @@ def sweep(names: Optional[Iterable[str]] = None,
           compute_dtype=np.float32,
           csv_path: Optional[str] = "results.csv",
           json_path: Optional[str] = None,
-          verbose: bool = True) -> list[BenchResult]:
+          verbose: bool = True,
+          **bench_kw) -> list[BenchResult]:
     names = list(names) if names is not None else sorted(generate.CORPUS)
     results = []
     for name in names:
@@ -37,7 +38,7 @@ def sweep(names: Optional[Iterable[str]] = None,
         op = TileSpMV(csr, config=config, compute_dtype=compute_dtype,
                       backend=backend)
         t_convert = time.perf_counter() - t0
-        res = benchmark_op(op, name=name)
+        res = benchmark_op(op, name=name, **bench_kw)
         results.append(res)
         if csv_path and res.reliable:
             append_results_csv(csv_path, res)

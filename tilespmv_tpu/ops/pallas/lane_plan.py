@@ -483,9 +483,15 @@ def _pick_cb(trow: np.ndarray, tcol: np.ndarray, tilem: int,
              t_lanes: int, k_panels: int, chunk_bytes: int) -> int:
     """Chunks per grid step. Batching amortizes the ~0.25 us per-step
     fixed cost, but each window's chunk count is padded UP to a multiple
-    of c_batch and every padding chunk streams a full zero val block — so
-    pick the batch by minimizing (step fixed cost + padding bytes) over
-    the per-window chunk counts, not by a blind power-of-2 fit."""
+    of c_batch and every padding chunk streams a full zero val block,
+    and the FIRST step's payload fetch cannot overlap compute (Pallas
+    pipelining needs a second step to prefetch behind) — so pick the
+    batch by minimizing (step fixed cost + padding bytes + one step's
+    un-overlapped fetch) over the per-window chunk counts. The startup
+    term is what stops small grids collapsing to one step: measured on
+    dense_blocks_medium (4 chunks, t=512), the old pick cb=4 (1 step)
+    ran 7.81 us vs cb=1 (4 steps) 6.26 us — a 1.25x loss to serialized
+    fetch (scripts/ab_dense_cbatch.py, interleaved, ~0% spread)."""
     cnt, panels = _window_stats(trow, tcol)
     ln = max(len(cnt), len(panels))
     cnt = np.pad(cnt, (0, ln - len(cnt)))
@@ -496,7 +502,8 @@ def _pick_cb(trow: np.ndarray, tcol: np.ndarray, tilem: int,
         steps = np.maximum(np.ceil(nch / cb), np.ceil(panels / k_panels))
         pad = steps * cb - nch
         cost = float((steps * STEP_FIXED_S
-                      + pad * chunk_bytes / HBM_BPS).sum())
+                      + pad * chunk_bytes / HBM_BPS).sum()
+                     ) + cb * chunk_bytes / HBM_BPS
         if best_cost is None or cost < best_cost * 0.98:
             best, best_cost = cb, cost
     return best
