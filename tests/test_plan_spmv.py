@@ -196,3 +196,27 @@ def test_window_sparse_coo_absorbed_into_w_class():
     pw = TileSpMV(generate.power_law(8192, 8192, 16, seed=4),
                   backend="pallas")
     assert "stream" in {c["kind"] for c in pw.plan.summary()["classes"]}
+
+
+def test_pick_cb_keeps_small_grids_pipelined():
+    """_pick_cb prices the first step's un-overlapped payload fetch, so
+    a few-chunk dense class keeps >=2 grid steps (Pallas can only
+    prefetch behind a second step). Measured on dense_blocks_medium
+    (4 chunks, t=512): 1 step = 7.8 us vs 4 steps = 6.26 us
+    (scripts/ab_dense_cbatch.py). Many-chunk grids must still batch."""
+    from tilespmv_tpu.ops.pallas import lane_plan as lp
+
+    # dense_blocks_medium shape: 2018 dense tiles in one 256-tile-row
+    # window band, t_lanes=512 -> 4 chunks, k_panels ample
+    rng = np.random.default_rng(0)
+    trow = rng.integers(0, 256, 2018)
+    tcol = rng.integers(0, 256, 2018)
+    cbytes = (16 * 16 * 512 + lp.DENSE_MROWS * 512) * 4
+    cb = lp._pick_cb(trow, tcol, 256, 512, 4, cbytes)
+    nch = int(np.ceil(2018 / 512))
+    assert nch // cb >= 2, f"cb={cb} collapses {nch} chunks to <2 steps"
+    # a large grid (512+ chunks) still batches steps
+    trow_l = rng.integers(0, 4096, 300000)
+    tcol_l = rng.integers(0, 4096, 300000)
+    cb_l = lp._pick_cb(trow_l, tcol_l, 4096, 512, 8, cbytes)
+    assert cb_l >= 2
