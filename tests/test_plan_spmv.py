@@ -220,3 +220,31 @@ def test_pick_cb_keeps_small_grids_pipelined():
     tcol_l = rng.integers(0, 4096, 300000)
     cb_l = lp._pick_cb(trow_l, tcol_l, 4096, 512, 8, cbytes)
     assert cb_l >= 2
+
+
+def test_transpose_operator_and_matmul():
+    """op.T = the transposed operator (lazy, cached, involutive);
+    rmatvec and @ follow the scipy LinearOperator conventions. The
+    transpose is planned from the source CSR via csr_transpose (the
+    reference's CSR->CSC pass, utils.h:172-211)."""
+    from tilespmv_tpu.ops.spmv import TileSpMV
+    csr = generate.rectangular(512, 192, 6, seed=9)
+    op = TileSpMV(csr, backend="pallas")
+    t = op.T
+    assert t.shape == (192, 512) and op.T is t and t.T is op
+    y = ((np.arange(512) % 7) / 3.0).astype(np.float32)
+    ref = csr.to_dense().T.astype(np.float64) @ y
+    np.testing.assert_allclose(np.asarray(t(y), np.float64), ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(op.rmatvec(y), np.float64),
+                               ref, rtol=1e-4, atol=1e-5)
+    # @ dispatches on rank
+    x = ((np.arange(192) % 5) / 2.0).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op @ x),
+                               np.asarray(op(x)), rtol=0, atol=0)
+    xs = np.stack([x, 2 * x], axis=1)
+    assert (op @ xs).shape == (512, 2)
+    # TileMatrix-built operators cannot transpose (no source CSR)
+    op2 = TileSpMV(tile_create(csr), backend="pallas")
+    with pytest.raises(ValueError, match="source CSRMatrix"):
+        _ = op2.T

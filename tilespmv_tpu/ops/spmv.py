@@ -107,6 +107,11 @@ class TileSpMV:
                  backend: str = "auto",
                  max_cols_per_plan: Optional[int] = None):
         self._col_parts = None
+        self._transpose: Optional["TileSpMV"] = None
+        # kept for .T: the transpose is planned from the source CSR (a
+        # TileMatrix cannot be transposed without re-tiling anyway)
+        self._source_csr = a if isinstance(a, CSRMatrix) else None
+        self._config = config
         limit = max_cols_per_plan or self.MAX_COLS_PER_PLAN
         if isinstance(a, CSRMatrix) and a.n > limit:
             self._init_col_partitioned(a, config, compute_dtype, backend,
@@ -154,6 +159,9 @@ class TileSpMV:
                 "(jax.config.update('jax_enable_x64', True))")
         self = cls.__new__(cls)
         self._col_parts = None
+        self._transpose = None
+        self._source_csr = None
+        self._config = None
         self.tile_matrix = None
         self.backend = ("pallas" if type(plan).__name__ == "LanePlan"
                         else "xla")
@@ -196,6 +204,43 @@ class TileSpMV:
         if self._col_parts is not None:
             return (self._m, self._n)
         return (self.plan.m, self.plan.n)
+
+    @property
+    def T(self) -> "TileSpMV":
+        """The transposed operator (y = A^T @ x), converted and planned
+        lazily on first access and cached; `op.T.T is op`. Needed by
+        least-squares / normal-equation workflows (LSQR, CG on A^T A)
+        on the rectangular archetypes. The transpose is planned from
+        the SOURCE CSR (utils/host.py::csr_transpose — the reference's
+        CSR->CSC pass, utils.h:172-211): A^T's tile structure differs
+        from A's, so it gets its own format selection and plan."""
+        if self._transpose is None:
+            if self._source_csr is None:
+                raise ValueError(
+                    ".T needs the source CSRMatrix; construct TileSpMV "
+                    "from a CSRMatrix (not a TileMatrix or a "
+                    "deserialized plan) to use the transposed operator")
+            from ..utils.host import csr_transpose
+            t = TileSpMV(csr_transpose(self._source_csr),
+                         config=self._config or DEFAULT_CONFIG,
+                         compute_dtype=self.compute_dtype,
+                         backend=self.backend)
+            t._transpose = self
+            self._transpose = t
+        return self._transpose
+
+    def rmatvec(self, x) -> jax.Array:
+        """y = A^T @ x (scipy.sparse.linalg.LinearOperator convention)."""
+        return self.T(x)
+
+    def __matmul__(self, x):
+        """op @ x: SpMV for 1-D x, SpMM for 2-D x."""
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            return self(x)
+        if x.ndim == 2:
+            return self.matmat(x)
+        raise ValueError(f"op @ x needs x of rank 1 or 2, got {x.ndim}")
 
     def __call__(self, x) -> jax.Array:
         x = jnp.asarray(x, dtype=self.compute_dtype)
