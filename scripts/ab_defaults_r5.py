@@ -41,10 +41,12 @@ def _check(plan, x, csr, tol=1e-3):
     return err
 
 
-def group_route(rounds=4):
-    """DENSE_ROUTE onehot vs prefix, e2e on mixed_large."""
+def group_route(rounds=4, name="mixed_large", **timed_kw):
+    """DENSE_ROUTE onehot vs prefix, e2e on `name`. Sub-10-us matrices
+    need seconds-long deltas (round-5 tight-harness lesson): pass e.g.
+    k1=2000, k2=60000 so the difference spans >=0.3 s."""
     from tilespmv_tpu.ops.spmv import spmv
-    csr = generate.get_matrix("mixed_large")
+    csr = generate.get_matrix(name)
     tm = tsp.tile_create(csr)
     x = _xj(csr)
     arms = {}
@@ -58,8 +60,32 @@ def group_route(rounds=4):
         _check(plan, x, csr)
         arms[route] = (functools.partial(spmv, backend="pallas"),
                        plan, x)
-    print("== route (mixed_large e2e) ==", flush=True)
-    return abtest.interleaved_ab(arms, rounds=rounds)
+    print(f"== route ({name} e2e) ==", flush=True)
+    return abtest.interleaved_ab(arms, rounds=rounds, **timed_kw)
+
+
+def group_ohdtype(rounds=4, name="mixed_large", **timed_kw):
+    """Window one-hot build dtype bf16 vs f32, e2e on `name` (round-5
+    second session). bf16 is bit-identical (every MXU consumer casts the
+    one-hot to bf16 anyway) but drops a full-surface convert pass."""
+    from tilespmv_tpu.ops.spmv import spmv
+    csr = generate.get_matrix(name)
+    tm = tsp.tile_create(csr)
+    plan = build_lane_plan(tm)
+    x = _xj(csr)
+    arms = {}
+    for oh in ("bf16", "f32"):
+        def fn(plan_, x_, _oh=oh):
+            old = dict(kernels.WINDOW_BLOCK_VARIANT)
+            try:
+                kernels.WINDOW_BLOCK_VARIANT["ohdtype"] = _oh
+                return spmv(plan_, x_, backend="pallas")
+            finally:
+                kernels.WINDOW_BLOCK_VARIANT.update(old)
+        arms[oh] = (fn, plan, x)
+    _check(plan, x, csr)
+    print(f"== onehot dtype ({name} e2e) ==", flush=True)
+    return abtest.interleaved_ab(arms, rounds=rounds, **timed_kw)
 
 
 def group_xg(rounds=4):
@@ -128,7 +154,7 @@ def group_band_acc(rounds=4):
 
 
 GROUPS = dict(route=group_route, xg=group_xg, dual=group_dual,
-              band_acc=group_band_acc)
+              band_acc=group_band_acc, ohdtype=group_ohdtype)
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"

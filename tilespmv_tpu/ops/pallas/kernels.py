@@ -171,9 +171,28 @@ def _gather_xg(panels, meta_ref, b, t: int, k_panels: int, acc_dtype,
     return jnp.concatenate(xgs, axis=1) if len(xgs) > 1 else xgs[0]
 
 
-WINDOW_BLOCK_VARIANT = {"onehot": "lr"}  # ablation: "const" (WRONG
-#   results) hoists the one-hot build out of the loop to isolate its
-#   compare/select surface cost (scripts/ablate_dense.py)
+TRI_DTYPE = {"v": "bf16"}  # "f32" restores the round-4 operand dtype
+
+
+def _tri(m):
+    """0/1 triangular MXU operand: exact in bf16, and every consumer
+    casts it to bf16 (f32 acc) or to acc_dtype (exact from bf16), so
+    storing it bf16 makes the in-kernel astype a no-op (deletes a
+    per-chunk/per-step full-surface convert) and halves its VMEM."""
+    return jnp.asarray(m, jnp.bfloat16 if TRI_DTYPE["v"] == "bf16"
+                       else jnp.float32)
+
+
+WINDOW_BLOCK_VARIANT = {"onehot": "lr", "ohdtype": "bf16"}
+# "onehot" ablation: "const" (WRONG results) hoists the one-hot build
+#   out of the loop to isolate its compare/select surface cost
+#   (scripts/ablate_dense.py).
+# "ohdtype": the one-hot is exact in bf16 (values 0/1), and every MXU
+#   consumer casts it to bf16 anyway (_split_dot/_split_dot3), so
+#   building it in bf16 drops a full-surface f32->bf16 convert pass
+#   (surface = t*ROW_WINDOW elements per chunk; the one-hot build is
+#   the dense class's main un-overlapped VPU cost on few-chunk grids).
+#   "f32" restores the round-4 build for A/B.
 
 
 def _assert_ablation(arm: str):
@@ -196,15 +215,24 @@ def _window_block(yc, meta_ref, b, t: int, acc_dtype,
     if interpret:
         return jnp.zeros((yc.shape[0], ROW_WINDOW), acc_dtype).at[:, lr].add(
             yc)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (t, ROW_WINDOW), 1)
+    oh_t = (jnp.bfloat16 if WINDOW_BLOCK_VARIANT["ohdtype"] == "bf16"
+            else jnp.float32)
+    # bf16 arm: the compare runs in int16 — an int32 compare's i1 mask
+    # lives in (8,128) layout and Mosaic cannot relayout it for a bf16
+    # select ((16,128) tiling), while int16 shares bf16's tiling (and
+    # a float iota is rejected: tpu.iota is integer-only). lr <
+    # ROW_WINDOW = 256 fits int16 exactly.
+    cmp_t = jnp.int32 if oh_t == jnp.float32 else jnp.int16
+    iota_r = jax.lax.broadcasted_iota(cmp_t, (t, ROW_WINDOW), 1)
+    lr_c = lr[:, None].astype(cmp_t)
     if WINDOW_BLOCK_VARIANT["onehot"] == "const":
         _assert_ablation("const")
-        ohr = jnp.where(iota_r == 0, jnp.asarray(1.0, jnp.float32),
-                        jnp.asarray(0.0, jnp.float32))
+        ohr = jnp.where(iota_r == 0, jnp.asarray(1.0, oh_t),
+                        jnp.asarray(0.0, oh_t))
     else:
-        ohr = jnp.where(lr[:, None] == iota_r,
-                        jnp.asarray(1.0, jnp.float32),
-                        jnp.asarray(0.0, jnp.float32))
+        ohr = jnp.where(lr_c == iota_r,
+                        jnp.asarray(1.0, oh_t),
+                        jnp.asarray(0.0, oh_t))
     if exact3:
         return _split_dot3(yc, ohr)
     return _split_dot(yc, ohr, acc_dtype)  # (16, RW)
@@ -657,7 +685,7 @@ def dense_class_call(d: DenseChunks, x_panels: jax.Array, n_windows: int,
     utri_args = ()
     if prefix:
         # inclusive-prefix operand for the boundary-difference routing
-        utri_args = (jnp.asarray(np.triu(
+        utri_args = (_tri(np.triu(
             np.ones((d.t_lanes, d.t_lanes), np.float32))),)
     nsteps = d.cw.shape[0]
     oshape = jax.ShapeDtypeStruct((_B, n_windows * ROW_WINDOW),
@@ -700,11 +728,14 @@ def sparse_class_call(s: SparseChunks, x_panels: jax.Array,
         _chunk_spec((s.width, s.t_lanes), lead=s.c_batch),    # val
         _chunk_spec((s.meta.shape[1], s.t_lanes), lead=s.c_batch),
     ]
-    ltri = jnp.asarray(np.tril(np.ones((s.width, s.width), np.float32)))
+    # 0/1 triangular MXU operands are exact in bf16, and every consumer
+    # casts them to bf16 (f32 acc) or to acc_dtype (exact from bf16) —
+    # creating them bf16 deletes a per-chunk full-surface convert
+    ltri = _tri(np.tril(np.ones((s.width, s.width), np.float32)))
     utri_args = ()
     extra_vmem = 1
     if prefix:
-        utri_args = (jnp.asarray(np.triu(
+        utri_args = (_tri(np.triu(
             np.ones((s.t_lanes, s.t_lanes), np.float32))),)
         extra_vmem = 2
     nsteps = s.cw.shape[0]
@@ -1008,7 +1039,7 @@ def sparse_spmm_call(s: SparseChunks, x_panels_k: jax.Array,
         # meta may carry prefix-route rows; SpMM routes via META_LROW
         _chunk_spec((s.meta.shape[1], s.t_lanes), lead=s.c_batch),
     ]
-    ltri = jnp.asarray(np.tril(np.ones((s.width, s.width), np.float32)))
+    ltri = _tri(np.tril(np.ones((s.width, s.width), np.float32)))
     nsteps = s.cw.shape[0]
     with _x32_trace():
         return pl.pallas_call(
@@ -1279,7 +1310,9 @@ def _stream_step(sbase, sbase2, cfirst, x2d_ref, ltri_ref, val_ref,
                 + jax.lax.dot_general(c_lo, lt, dnums,
                                       preferred_element_type=acc_dtype))
     else:
-        csum = jax.lax.dot_general(cstack, ltri_ref[...], dnums,
+        csum = jax.lax.dot_general(cstack,
+                                   ltri_ref[...].astype(acc_dtype),
+                                   dnums,
                                    precision=jax.lax.Precision.HIGHEST,
                                    preferred_element_type=acc_dtype)
 
@@ -1529,7 +1562,7 @@ def stream_class_call2(sc: StreamChunks, xa2d: jax.Array,
         lambda i, sbase, sbase2, cw, cfirst, sactive: (0, cw[i]),
         memory_space=pltpu.VMEM)
     sb2 = sc.sbase2 if sc.sbase2 is not None else sc.sbase
-    ltri = jnp.asarray(np.triu(np.ones((LANES, LANES), np.float32)))
+    ltri = _tri(np.triu(np.ones((LANES, LANES), np.float32)))
     kernel = functools.partial(_stream_kernel2, s_batch=S,
                                rounds=sc.rounds, acc_dtype=jnp.float32,
                                has_prev=prev is not None,
@@ -1890,8 +1923,7 @@ def stream_class_call(sc: StreamChunks, x2d128: jax.Array, n_windows: int,
               *(tuple(prev) if prev is not None else ()))
     acc_dtype = (jnp.float32 if x2d128.dtype != jnp.float64
                  else jnp.float64)
-    ltri = jnp.asarray(
-        np.triu(np.ones((LANES, LANES), np.float32)).astype(acc_dtype))
+    ltri = _tri(np.triu(np.ones((LANES, LANES), np.float32)))
     kernel = functools.partial(_stream_kernel, s_batch=S,
                                rounds=sc.rounds, acc_dtype=acc_dtype,
                                has_prev=prev is not None,
