@@ -183,7 +183,7 @@ def _tri(m):
                        else jnp.float32)
 
 
-WINDOW_BLOCK_VARIANT = {"onehot": "lr", "ohdtype": "bf16"}
+WINDOW_BLOCK_VARIANT = {"onehot": "lr", "ohdtype": "f32"}
 # "onehot" ablation: "const" (WRONG results) hoists the one-hot build
 #   out of the loop to isolate its compare/select surface cost
 #   (scripts/ablate_dense.py).
@@ -192,7 +192,13 @@ WINDOW_BLOCK_VARIANT = {"onehot": "lr", "ohdtype": "bf16"}
 #   building it in bf16 drops a full-surface f32->bf16 convert pass
 #   (surface = t*ROW_WINDOW elements per chunk; the one-hot build is
 #   the dense class's main un-overlapped VPU cost on few-chunk grids).
-#   "f32" restores the round-4 build for A/B.
+#   DEFAULT IS "f32": mid round 5 this terminal's compile helper was
+#   updated and now rejects EVERY 16-bit-operand compare in Mosaic
+#   ("16-bit iota not supported by hardware" for the i16 iota, then
+#   "Target does not support this comparison" for both i16 and bf16
+#   eq) — the bf16 build cannot compile here any more. The arm is kept
+#   for environments whose Mosaic accepts 16-bit compares; flip only
+#   after a compile check.
 
 
 def _assert_ablation(arm: str):
@@ -217,13 +223,20 @@ def _window_block(yc, meta_ref, b, t: int, acc_dtype,
             yc)
     oh_t = (jnp.bfloat16 if WINDOW_BLOCK_VARIANT["ohdtype"] == "bf16"
             else jnp.float32)
-    # bf16 arm: the compare runs in int16 — an int32 compare's i1 mask
-    # lives in (8,128) layout and Mosaic cannot relayout it for a bf16
-    # select ((16,128) tiling), while int16 shares bf16's tiling (and
-    # a float iota is rejected: tpu.iota is integer-only). lr <
-    # ROW_WINDOW = 256 fits int16 exactly.
-    cmp_t = jnp.int32 if oh_t == jnp.float32 else jnp.int16
-    iota_r = jax.lax.broadcasted_iota(cmp_t, (t, ROW_WINDOW), 1)
+    # bf16 arm: the compare must run in a 16-bit type — an int32
+    # compare's i1 mask lives in (8,128) layout and Mosaic cannot
+    # relayout it for a bf16 select ((16,128) tiling). The original
+    # int16 compare stopped compiling mid round 5 when this terminal's
+    # compile helper was updated ("16-bit iota not supported by
+    # hardware", then "Target does not support this comparison" for the
+    # i16 eq) — so the bf16 arm now compares in BFLOAT16 itself: lane
+    # ids 0..ROW_WINDOW-1 < 256 are exactly representable (bf16 carries
+    # 8 significant bits), the iota is generated in int32 (tpu.iota is
+    # 32-bit only) and converted, and the eq mask natively shares the
+    # select's (16,128) tiling.
+    cmp_t = jnp.int32 if oh_t == jnp.float32 else jnp.bfloat16
+    iota_r = jax.lax.broadcasted_iota(
+        jnp.int32, (t, ROW_WINDOW), 1).astype(cmp_t)
     lr_c = lr[:, None].astype(cmp_t)
     if WINDOW_BLOCK_VARIANT["onehot"] == "const":
         _assert_ablation("const")
